@@ -1,0 +1,31 @@
+"""Test configuration: run JAX on a virtual 8-device CPU platform.
+
+Per SURVEY.md §4: kernels and sharding logic must be testable without TPU
+hardware.  JAX runs the same XLA programs on CPU, and
+``--xla_force_host_platform_device_count=8`` emulates an 8-chip mesh for
+``shard_map``/``pjit`` tests.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+REFERENCE_MODELS = "/root/reference/models"
+
+
+def reference_models_available() -> bool:
+    return os.path.isdir(REFERENCE_MODELS)

@@ -1,0 +1,326 @@
+"""JAX graph executor for parsed ncnn graphs.
+
+Replaces the ncnn C++ extractor used by the reference
+(``net.create_extractor(); ex.input(...); ex.extract(...)`` at
+upscale/upscale_processing.py:278-280, 450-452).  Instead of interpreting
+the graph per-inference on a Vulkan queue, the **whole network is traced
+once** into a single XLA program: :func:`build_forward` returns a pure
+``forward(params, x)`` that can be wrapped in ``jax.jit``/``pjit`` and
+fused end-to-end by the compiler (conv + bias + activation + pixel-shuffle
+epilogues all land in one executable; XLA tiles the convs onto the MXU).
+
+Conventions
+-----------
+- Tensors are **NHWC** (TPU-native); ncnn is CHW, so channel-axis
+  attributes (Concat axis, PixelShuffle grouping) are remapped here.
+- ``params`` is the pytree from :mod:`upscale_video_tpu.models.bin_loader`.
+- ``compute_dtype``: ``jnp.bfloat16`` runs convs on the MXU in bf16 with
+  float32 accumulation (``preferred_element_type``); the shipped zoo stores
+  fp16 weights so bf16 is within the models' own storage precision.
+
+Supported layer types cover the full reference zoo:
+SRVGGNetCompact (2x/4x Compact: Input/Split/Convolution/PReLU/PixelShuffle/
+Interp/BinaryOp) and RRDBNet (4x_Valar_v1: + Concat/Eltwise, 1206 layers).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upscale_video_tpu.models.param_parser import NcnnGraph, NcnnLayer
+
+# CHW axis -> NHWC axis (for Concat / Slice style attributes)
+_CHW_TO_NHWC = {0: 3, 1: 1, 2: 2}
+
+
+def _apply_activation(x: jnp.ndarray, act_type: int, act_params: Sequence[float]):
+    """ncnn fused conv activations (Convolution attr 9 / array attr 10).
+
+    0 none, 1 relu, 2 leaky-relu(slope), 3 clip(min,max), 4 sigmoid,
+    5 mish, 6 hardswish.  4x_Valar_v1.param uses ``9=2 -23310=1,0.2``.
+    """
+    if act_type == 0:
+        return x
+    if act_type == 1:
+        return jnp.maximum(x, 0)
+    if act_type == 2:
+        slope = jnp.asarray(act_params[0], dtype=x.dtype)
+        return jnp.where(x >= 0, x, x * slope)
+    if act_type == 3:
+        return jnp.clip(x, act_params[0], act_params[1])
+    if act_type == 4:
+        return jax.nn.sigmoid(x)
+    if act_type == 5:
+        return x * jnp.tanh(jax.nn.softplus(x))
+    if act_type == 6:
+        lo, hi = act_params[0], act_params[1]
+        return x * jnp.clip(x * lo + hi, 0.0, 1.0)
+    raise NotImplementedError(f"activation type {act_type}")
+
+
+def _op_convolution(layer: NcnnLayer, inputs, p, compute_dtype):
+    (x,) = inputs
+    # In f32 quality mode, force true-f32 MXU passes; in bf16 perf mode the
+    # default single-pass bf16 MXU path is what we want.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    w = p["weight"].astype(compute_dtype)
+    kw = layer.attr_i(1)
+    kh = layer.attr_i(11, kw)
+    sw = layer.attr_i(3, 1)
+    sh = layer.attr_i(13, sw)
+    dw = layer.attr_i(2, 1)
+    dh = layer.attr_i(12, dw)
+    pad_l = layer.attr_i(4, 0)
+    pad_t = layer.attr_i(14, pad_l)
+    pad_r = layer.attr_i(15, pad_l)
+    pad_b = layer.attr_i(16, pad_t)
+    if pad_l == -233:  # ncnn "SAME_UPPER" auto-pad
+        padding = "SAME"
+    else:
+        padding = [(pad_t, pad_b), (pad_l, pad_r)]
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w,
+        window_strides=(sh, sw),
+        padding=padding,
+        rhs_dilation=(dh, dw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    y = _apply_activation(y, layer.attr_i(9, 0), layer.attr(10, []))
+    return y.astype(compute_dtype)
+
+
+def _op_prelu(layer: NcnnLayer, inputs, p, compute_dtype):
+    (x,) = inputs
+    slope = p["slope"].astype(x.dtype)
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def _op_pixelshuffle(layer: NcnnLayer, inputs, p, compute_dtype):
+    """ncnn PixelShuffle (attr 0 = upscale_factor r, attr 1 = mode).
+
+    Mode 0 (default, PyTorch ``pixel_shuffle``): output channel ``c`` at
+    pixel (y*r+i, x*r+j) reads input channel ``c*r*r + i*r + j``.  Used as
+    ``DepthToSpace_35 0=2`` in 2x_Compact_Pretrain.param.
+    """
+    (x,) = inputs
+    r = layer.attr_i(0, 1)
+    if r == 1:
+        return x
+    mode = layer.attr_i(1, 0)
+    n, h, w, c_in = x.shape
+    c_out = c_in // (r * r)
+    if mode == 0:
+        x = x.reshape(n, h, w, c_out, r, r)  # (..., c, i, j)
+        x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, i, w, j, c
+    else:  # mode 1: channel = (i*r + j)*c_out + c
+        x = x.reshape(n, h, w, r, r, c_out)  # (..., i, j, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * r, w * r, c_out)
+
+
+def _op_interp(layer: NcnnLayer, inputs, p, compute_dtype):
+    """ncnn Interp: attr 0 resize_type (1 nearest, 2 bilinear, 3 bicubic),
+    attrs 1/2 height/width scale, attrs 3/4 fixed output size.
+
+    The zoo uses nearest only (``Resize_36 0=1 1=2.0 2=2.0``), whose ncnn
+    semantics are floor-mapping ``src = floor(dst / scale)`` — an exact
+    ``repeat`` for integer scales.  Bilinear matches half-pixel centers
+    (align_corners=false), delegated to ``jax.image.resize``.
+    """
+    (x,) = inputs
+    rtype = layer.attr_i(0, 0)
+    hs = layer.attr_f(1, 1.0)
+    ws = layer.attr_f(2, 1.0)
+    out_h = layer.attr_i(3, 0) or int(x.shape[1] * hs)
+    out_w = layer.attr_i(4, 0) or int(x.shape[2] * ws)
+    n, h, w, c = x.shape
+    if (out_h, out_w) == (h, w):
+        return x
+    if rtype in (0, 1):  # nearest
+        if out_h % h == 0 and out_w % w == 0:
+            x = jnp.repeat(x, out_h // h, axis=1)
+            x = jnp.repeat(x, out_w // w, axis=2)
+            return x
+        ys = jnp.clip((jnp.arange(out_h) * h) // out_h, 0, h - 1)
+        xs = jnp.clip((jnp.arange(out_w) * w) // out_w, 0, w - 1)
+        return x[:, ys][:, :, xs]
+    if rtype == 2:
+        return jax.image.resize(x, (n, out_h, out_w, c), method="linear")
+    if rtype == 3:
+        return jax.image.resize(x, (n, out_h, out_w, c), method="cubic")
+    raise NotImplementedError(f"Interp resize_type {rtype}")
+
+
+_BINARY_OPS = {
+    0: jnp.add,
+    1: jnp.subtract,
+    2: jnp.multiply,
+    3: jnp.divide,
+    4: jnp.maximum,
+    5: jnp.minimum,
+    6: jnp.power,
+    7: lambda a, b: b - a,
+    8: lambda a, b: b / a,
+}
+
+
+def _op_binaryop(layer: NcnnLayer, inputs, p, compute_dtype):
+    op = _BINARY_OPS[layer.attr_i(0, 0)]
+    if layer.attr_i(1, 0):  # with_scalar
+        return op(inputs[0], jnp.asarray(layer.attr_f(2), dtype=inputs[0].dtype))
+    a, b = inputs
+    return op(a, b)
+
+
+def _op_eltwise(layer: NcnnLayer, inputs, p, compute_dtype):
+    """ncnn Eltwise: 0=op (0 prod, 1 sum, 2 max), array attr 1 = coeffs.
+
+    4x_Valar_v1 fuses its ESRGAN residual scaling here:
+    ``Eltwise 0=1 -23301=2,0.2,1.0`` computes ``0.2*a + 1.0*b``.
+    """
+    op = layer.attr_i(0, 0)
+    coeffs = layer.attr(1, [])
+    if op == 0:
+        out = inputs[0]
+        for t in inputs[1:]:
+            out = out * t
+        return out
+    if op == 1:
+        if coeffs:
+            out = inputs[0] * jnp.asarray(coeffs[0], dtype=inputs[0].dtype)
+            for t, c in zip(inputs[1:], coeffs[1:]):
+                out = out + t * jnp.asarray(c, dtype=t.dtype)
+            return out
+        out = inputs[0]
+        for t in inputs[1:]:
+            out = out + t
+        return out
+    if op == 2:
+        out = inputs[0]
+        for t in inputs[1:]:
+            out = jnp.maximum(out, t)
+        return out
+    raise NotImplementedError(f"Eltwise op {op}")
+
+
+def _op_concat(layer: NcnnLayer, inputs, p, compute_dtype):
+    axis = _CHW_TO_NHWC[layer.attr_i(0, 0)]
+    return jnp.concatenate(inputs, axis=axis)
+
+
+def _op_split(layer: NcnnLayer, inputs, p, compute_dtype):
+    return [inputs[0]] * len(layer.outputs)
+
+
+def _op_identity(layer: NcnnLayer, inputs, p, compute_dtype):
+    return inputs[0]
+
+
+def _op_relu(layer: NcnnLayer, inputs, p, compute_dtype):
+    slope = layer.attr_f(0, 0.0)
+    x = inputs[0]
+    if slope:
+        return jnp.where(x >= 0, x, x * jnp.asarray(slope, x.dtype))
+    return jnp.maximum(x, 0)
+
+
+def _op_clip(layer: NcnnLayer, inputs, p, compute_dtype):
+    return jnp.clip(inputs[0], layer.attr_f(0, -3.4e38), layer.attr_f(1, 3.4e38))
+
+
+def _op_sigmoid(layer: NcnnLayer, inputs, p, compute_dtype):
+    return jax.nn.sigmoid(inputs[0])
+
+
+def _op_dropout(layer: NcnnLayer, inputs, p, compute_dtype):
+    scale = layer.attr_f(0, 1.0)
+    return inputs[0] if scale == 1.0 else inputs[0] * scale
+
+
+OP_REGISTRY: Dict[str, Callable] = {
+    "Input": _op_identity,
+    "Split": _op_split,
+    "Convolution": _op_convolution,
+    "PReLU": _op_prelu,
+    "PixelShuffle": _op_pixelshuffle,
+    "Interp": _op_interp,
+    "BinaryOp": _op_binaryop,
+    "Eltwise": _op_eltwise,
+    "Concat": _op_concat,
+    "ReLU": _op_relu,
+    "Clip": _op_clip,
+    "Sigmoid": _op_sigmoid,
+    "Dropout": _op_dropout,
+    "Noop": _op_identity,
+}
+
+
+def build_forward(
+    graph: NcnnGraph,
+    compute_dtype: Any = jnp.bfloat16,
+    output_dtype: Any = jnp.float32,
+) -> Callable:
+    """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
+
+    The returned function is trace-compatible: wrap in ``jax.jit`` (or shard
+    with ``shard_map``) at the call site.  Input/output are float tensors in
+    the model's native [0,1] domain, matching the reference normalization
+    ``1/255`` applied before extraction (upscale_processing.py:271-273).
+    """
+    unsupported = sorted(
+        {l.type for l in graph.layers if l.type not in OP_REGISTRY}
+    )
+    if unsupported:
+        raise NotImplementedError(f"unsupported ncnn layer types: {unsupported}")
+
+    input_blobs = graph.input_blobs
+    if len(input_blobs) != 1:
+        raise ValueError(f"expected exactly one Input, got {input_blobs}")
+    output_blobs = graph.output_blobs
+    if len(output_blobs) != 1:
+        raise ValueError(f"expected exactly one output blob, got {output_blobs}")
+
+    # last consumer index per blob, so traced intermediates are dropped as
+    # soon as possible (keeps the Python-side blob dict small for the
+    # 2127-blob Valar graph; XLA liveness does the on-device equivalent).
+    last_use: Dict[str, int] = {}
+    for i, layer in enumerate(graph.layers):
+        for b in layer.inputs:
+            last_use[b] = i
+
+    def forward(params: Dict[str, Dict[str, jnp.ndarray]], x: jnp.ndarray) -> jnp.ndarray:
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        blobs: Dict[str, jnp.ndarray] = {input_blobs[0]: x.astype(compute_dtype)}
+        for i, layer in enumerate(graph.layers):
+            if layer.type == "Input":
+                continue
+            ins = [blobs[b] for b in layer.inputs]
+            p = params.get(layer.name, {})
+            out = OP_REGISTRY[layer.type](layer, ins, p, compute_dtype)
+            if isinstance(out, list):
+                for name, t in zip(layer.outputs, out):
+                    blobs[name] = t
+            else:
+                blobs[layer.outputs[0]] = out
+            for b in layer.inputs:
+                if last_use.get(b) == i and b in blobs:
+                    del blobs[b]
+        y = blobs[output_blobs[0]].astype(output_dtype)
+        return y[0] if squeeze else y
+
+    return forward

@@ -1,0 +1,191 @@
+"""Model zoo: resolution, loading, and programmatic architectures.
+
+Mirrors the reference's model-selection scheme so existing model
+directories keep working: the on-disk stem is ``str(scale) + model_file``
+(reference: upscale/upscale_processing.py:70-71) and the role -> file map is
+
+- SR default      : ``x_Compact_Pretrain``        (upscale_processing.py:918)
+- real-life ('r') : ``x_Valar_v1``                (upscale_processing.py:914)
+- anime    ('a')  : ``x_HurrDeblur_SubCompact_nf24-nc8_244k_net_g``
+                    run at scale 1                (upscale_processing.py:891-906)
+
+Because the reference's pretrained ``.bin``/``.param`` files are third-party
+artifacts, they are NOT vendored here; point ``UPSCALE_TPU_MODEL_PATH`` (or
+``--model_path``) at a directory containing them.  For benchmarking and
+tests, :func:`make_srvgg_graph` builds the same SRVGGNetCompact architecture
+programmatically (FLOP-identical) with synthesized weights.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upscale_video_tpu.models.param_parser import NcnnGraph, NcnnLayer, parse_param_file
+from upscale_video_tpu.models.bin_loader import load_weights_file, synthesize_weights
+from upscale_video_tpu.models.executor import build_forward
+
+# role -> ncnn file stem suffix (prefixed by the integer scale)
+MODEL_FILES = {
+    "compact": "x_Compact_Pretrain",
+    "valar": "x_Valar_v1",
+    "anime": "x_HurrDeblur_SubCompact_nf24-nc8_244k_net_g",
+}
+
+_ENV_MODEL_PATH = "UPSCALE_TPU_MODEL_PATH"
+
+
+def resolve_model_path(model_path: Optional[str] = None) -> Optional[str]:
+    """Locate the model directory: explicit arg > env var > ./models."""
+    candidates = [
+        model_path,
+        os.environ.get(_ENV_MODEL_PATH),
+        os.path.join(os.getcwd(), "models"),
+    ]
+    for c in candidates:
+        if c and os.path.isdir(c):
+            return c
+    return None
+
+
+@dataclass
+class Model:
+    """A loaded, executable model."""
+
+    name: str
+    scale: int
+    graph: NcnnGraph
+    params: Dict[str, Dict[str, Any]]
+    compute_dtype: Any = jnp.bfloat16
+    _forward: Callable = field(default=None, repr=False)
+    _jitted: Callable = field(default=None, repr=False)
+
+    @property
+    def forward(self) -> Callable:
+        if self._forward is None:
+            self._forward = build_forward(self.graph, compute_dtype=self.compute_dtype)
+        return self._forward
+
+    @property
+    def jitted(self) -> Callable:
+        """``jit(forward)`` with params closed over as constants donated to
+        the device once; retraces per input shape (shapes are bucketed by
+        the pipeline to bound the compile set)."""
+        if self._jitted is None:
+            fwd = self.forward
+            self._jitted = jax.jit(fwd)
+        return self._jitted
+
+    def __call__(self, x):
+        return self.jitted(self.params, x)
+
+    def device_params(self, device=None):
+        """Transfer params to a device once (returns a new pytree)."""
+        put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
+        return jax.tree_util.tree_map(put, self.params)
+
+
+def load_model(
+    model_file: str,
+    scale: int,
+    model_path: Optional[str] = None,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Model:
+    """Load ``{scale}{model_file}.param/.bin`` from a model directory.
+
+    ``model_file`` may be a role name from :data:`MODEL_FILES` ("compact",
+    "valar", "anime") or a raw ncnn stem suffix like the reference uses.
+    """
+    stem_suffix = MODEL_FILES.get(model_file, model_file)
+    base = resolve_model_path(model_path)
+    if base is None:
+        raise FileNotFoundError(
+            f"no model directory found (set {_ENV_MODEL_PATH} or pass model_path)"
+        )
+    stem = os.path.join(base, f"{scale}{stem_suffix}")
+    graph = parse_param_file(stem + ".param")
+    params = load_weights_file(graph, stem + ".bin")
+    params = jax.tree_util.tree_map(np.asarray, params)
+    return Model(
+        name=f"{scale}{stem_suffix}",
+        scale=scale,
+        graph=graph,
+        params=params,
+        compute_dtype=compute_dtype,
+    )
+
+
+def make_srvgg_graph(
+    scale: int = 2,
+    num_conv: int = 16,
+    num_feat: int = 64,
+    in_ch: int = 3,
+    out_ch: int = 3,
+) -> NcnnGraph:
+    """Build an SRVGGNetCompact-architecture graph programmatically.
+
+    Matches the structure of the shipped Compact models (.param: Input ->
+    Split -> [Conv3x3 + PReLU] x (num_conv+1) -> Conv3x3(out_ch*scale^2) ->
+    PixelShuffle(scale) -> nearest-Interp(scale) skip -> Add).  With
+    ``num_conv=16, num_feat=64`` this is FLOP-identical to
+    ``2x_Compact_Pretrain`` (40 layers / 41 blobs).
+    """
+    layers = [
+        NcnnLayer("Input", "input", [], ["input"]),
+        NcnnLayer("Split", "split_in", ["input"], ["in_skip", "in_body"]),
+    ]
+    prev = "in_body"
+    ch = in_ch
+    for i in range(num_conv + 1):
+        cname, pname = f"conv_{i}", f"prelu_{i}"
+        layers.append(
+            NcnnLayer(
+                "Convolution", cname, [prev], [f"c{i}"],
+                {0: num_feat, 1: 3, 4: 1, 5: 1, 6: num_feat * ch * 9},
+            )
+        )
+        layers.append(NcnnLayer("PReLU", pname, [f"c{i}"], [f"p{i}"], {0: num_feat}))
+        prev, ch = f"p{i}", num_feat
+    up_ch = out_ch * scale * scale
+    layers.append(
+        NcnnLayer(
+            "Convolution", "conv_up", [prev], ["pre_shuffle"],
+            {0: up_ch, 1: 3, 4: 1, 5: 1, 6: up_ch * ch * 9},
+        )
+    )
+    layers.append(
+        NcnnLayer("PixelShuffle", "shuffle", ["pre_shuffle"], ["shuffled"], {0: scale})
+    )
+    layers.append(
+        NcnnLayer(
+            "Interp", "skip_up", ["in_skip"], ["skip"],
+            {0: 1, 1: float(scale), 2: float(scale)},
+        )
+    )
+    layers.append(NcnnLayer("BinaryOp", "residual", ["shuffled", "skip"], ["output"]))
+    blob_count = len({b for l in layers for b in l.outputs})
+    return NcnnGraph(layers=layers, blob_count=blob_count)
+
+
+def make_synthetic_model(
+    scale: int = 2,
+    num_conv: int = 16,
+    num_feat: int = 64,
+    seed: int = 0,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Model:
+    """A Compact-architecture model with random weights (bench/test use)."""
+    graph = make_srvgg_graph(scale=scale, num_conv=num_conv, num_feat=num_feat)
+    params = synthesize_weights(graph, seed=seed)
+    return Model(
+        name=f"synthetic_{scale}x_compact",
+        scale=scale,
+        graph=graph,
+        params=params,
+        compute_dtype=compute_dtype,
+    )

@@ -1,0 +1,102 @@
+"""Pixel-domain ops: normalization, channel order, padding.
+
+The reference's per-frame pixel pipeline is: cv2 ``imread`` (BGR uint8) ->
+``ncnn.Mat.from_pixels(PIXEL_BGR)`` -> ``substract_mean_normalize`` by
+1/255 -> network -> CHW->HWC transpose -> ``*255`` -> ``imwrite``
+(upscale/upscale_processing.py:263-288).  Net effect: the models see
+**BGR floats in [0,1]**.
+
+Here the same normalization happens on-device so it fuses into the model
+program: uint8 frames go host->HBM as-is (3 bytes/px over PCIe instead of
+12 for f32) and the ``/255`` + channel flip are free VPU work fused by XLA
+into the first convolution's input.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rgb_to_bgr(x: jnp.ndarray) -> jnp.ndarray:
+    """Flip the channel axis (last dim). Involution: also bgr_to_rgb."""
+    return x[..., ::-1]
+
+
+bgr_to_rgb = rgb_to_bgr
+
+
+def frames_to_model(
+    frames_u8: jnp.ndarray, channel_order: str = "bgr"
+) -> jnp.ndarray:
+    """uint8 RGB frames (N,H,W,3) -> model-domain float in [0,1].
+
+    ``channel_order='bgr'`` reproduces the reference's PIXEL_BGR feed
+    (upscale_processing.py:265-273); decoded frames are RGB (ffmpeg
+    ``-pix_fmt rgb24``, upscale_processing.py:223-224), so the flip here is
+    exactly the cv2-imread-BGR behaviour the zoo models were run with.
+    """
+    x = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+    if channel_order == "bgr":
+        x = rgb_to_bgr(x)
+    return x
+
+
+def model_to_frames(
+    y: jnp.ndarray, channel_order: str = "bgr", dither: bool = False
+) -> jnp.ndarray:
+    """Model output float -> uint8 RGB frames, matching the reference's
+    ``*255`` + image-writer clamp/round (upscale_processing.py:284-288)."""
+    if channel_order == "bgr":
+        y = bgr_to_rgb(y)
+    y = y * 255.0
+    y = jnp.clip(jnp.round(y), 0.0, 255.0)
+    return y.astype(jnp.uint8)
+
+
+def pad_to_multiple(
+    x: jnp.ndarray, multiple_h: int, multiple_w: int, mode: str = "edge"
+) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """Pad H/W (axes -3/-2) up to multiples; returns (padded, (ph, pw)).
+
+    XLA wants static shapes — the pipeline buckets frame geometry by
+    padding to a coarse grid so one compiled program serves a whole video
+    (SURVEY.md §7 hard part (d)).  Edge padding keeps SR border artifacts
+    negligible versus zero padding.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    ph = (-h) % multiple_h
+    pw = (-w) % multiple_w
+    if ph == 0 and pw == 0:
+        return x, (0, 0)
+    pad = [(0, 0)] * x.ndim
+    pad[-3] = (0, ph)
+    pad[-2] = (0, pw)
+    return jnp.pad(x, pad, mode=mode), (ph, pw)
+
+
+def unpad(y: jnp.ndarray, pads: Tuple[int, int], scale: int = 1) -> jnp.ndarray:
+    """Crop the scale-multiplied padding added by :func:`pad_to_multiple`."""
+    ph, pw = pads
+    h = y.shape[-3] - ph * scale
+    w = y.shape[-2] - pw * scale
+    return y[..., :h, :w, :]
+
+
+def bucket_shape(h: int, w: int, grid: int = 64) -> Tuple[int, int]:
+    """Round a frame geometry up to a compile-shape bucket."""
+    r = lambda v: ((v + grid - 1) // grid) * grid
+    return r(h), r(w)
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    """PSNR in dB between two images/arrays (quality gate metric,
+    BASELINE.md north star: <=1e-2 PSNR delta)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
