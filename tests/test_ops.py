@@ -1,0 +1,149 @@
+"""Tests for pixel ops, haloed tiling, and NL-means denoise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upscale_video_tpu.models.bin_loader import synthesize_weights
+from upscale_video_tpu.models.executor import build_forward
+from upscale_video_tpu.models.zoo import make_srvgg_graph
+from upscale_video_tpu.ops.nlmeans import nl_means_denoise, nl_means_denoise_batch
+from upscale_video_tpu.ops.pixel import (
+    bucket_shape,
+    frames_to_model,
+    model_to_frames,
+    pad_to_multiple,
+    psnr,
+    rgb_to_bgr,
+    unpad,
+)
+from upscale_video_tpu.ops.tiling import tiled_apply
+
+
+class TestPixel:
+    def test_normalize_roundtrip(self, rng):
+        u8 = rng.integers(0, 256, (2, 7, 9, 3), dtype=np.uint8)
+        x = frames_to_model(jnp.asarray(u8))
+        assert float(x.max()) <= 1.0 and float(x.min()) >= 0.0
+        back = np.asarray(model_to_frames(x))
+        np.testing.assert_array_equal(back, u8)
+
+    def test_bgr_involution(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (4, 4, 3)).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(rgb_to_bgr(rgb_to_bgr(x))), np.asarray(x))
+
+    def test_channel_order_matches_reference_feed(self, rng):
+        """RGB frame -> model domain must place R in channel 2 (cv2 BGR)."""
+        u8 = np.zeros((1, 2, 2, 3), np.uint8)
+        u8[..., 0] = 255  # pure red
+        x = np.asarray(frames_to_model(jnp.asarray(u8)))
+        assert x[0, 0, 0, 2] == 1.0 and x[0, 0, 0, 0] == 0.0
+
+    def test_pad_unpad(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (1, 13, 21, 3)).astype(np.float32))
+        xp, pads = pad_to_multiple(x, 8, 8)
+        assert xp.shape[1] % 8 == 0 and xp.shape[2] % 8 == 0
+        y = unpad(xp, pads)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_pad_unpad_scaled(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (5, 6, 3)).astype(np.float32))
+        xp, pads = pad_to_multiple(x, 4, 4)
+        up2 = jnp.repeat(jnp.repeat(xp, 2, axis=0), 2, axis=1)
+        y = unpad(up2, pads, scale=2)
+        assert y.shape == (10, 12, 3)
+
+    def test_bucket(self):
+        assert bucket_shape(1080, 1920, 64) == (1088, 1920)
+
+    def test_psnr(self):
+        a = np.zeros((4, 4))
+        assert psnr(a, a) == float("inf")
+        b = a + 1.0
+        assert abs(psnr(a, b) - 48.13) < 0.01
+
+
+class TestTiling:
+    def _model(self, scale=2, num_conv=2, feat=8, seed=0):
+        g = make_srvgg_graph(scale=scale, num_conv=num_conv, num_feat=feat)
+        params = synthesize_weights(g, seed=seed)
+        fwd = build_forward(g, compute_dtype=jnp.float32)
+        return lambda batch: fwd(params, batch), num_conv + 2
+
+    def test_interior_exact(self, rng):
+        fn, n_convs = self._model()
+        img = jnp.asarray(rng.uniform(0, 1, (40, 56, 3)).astype(np.float32))
+        whole = np.asarray(fn(img[None]))[0]
+        tiled = np.asarray(tiled_apply(fn, img, tile=16, halo=n_convs, scale=2))
+        assert tiled.shape == whole.shape
+        # interior matches whole-frame when halo >= receptive field (up to
+        # float reassociation across differently-fused XLA programs)
+        m = 2 * n_convs  # scaled border margin
+        np.testing.assert_allclose(
+            tiled[m:-m, m:-m], whole[m:-m, m:-m], atol=1e-5
+        )
+        # whole image should still be visually identical
+        assert psnr(tiled * 255, whole * 255) > 40
+
+    def test_ragged_edges(self, rng):
+        """Frame not a multiple of tile: output geometry must be exact."""
+        fn, n_convs = self._model()
+        img = jnp.asarray(rng.uniform(0, 1, (37, 51, 3)).astype(np.float32))
+        out = np.asarray(tiled_apply(fn, img, tile=16, halo=4, scale=2))
+        assert out.shape == (74, 102, 3)
+
+    def test_tiles_per_step_chunking(self, rng):
+        fn, n_convs = self._model()
+        img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        all_at_once = np.asarray(tiled_apply(fn, img, tile=8, halo=4, scale=2))
+        chunked = np.asarray(
+            tiled_apply(fn, img, tile=8, halo=4, scale=2, tiles_per_step=3)
+        )
+        np.testing.assert_allclose(chunked, all_at_once, atol=1e-6)
+
+    def test_scale_1(self, rng):
+        fn, _ = self._model(scale=1)
+        img = jnp.asarray(rng.uniform(0, 1, (20, 20, 3)).astype(np.float32))
+        out = np.asarray(tiled_apply(fn, img, tile=8, halo=4, scale=1))
+        assert out.shape == (20, 20, 3)
+
+
+class TestNLMeans:
+    def test_reduces_noise(self, rng):
+        clean = np.zeros((24, 24, 3), np.float32)
+        clean[:, :12] = 0.3
+        clean[:, 12:] = 0.7
+        noisy = clean + rng.normal(0, 10 / 255.0, clean.shape).astype(np.float32)
+        den = np.asarray(nl_means_denoise(jnp.asarray(noisy), 10.0))
+        err_before = np.mean((noisy - clean) ** 2)
+        err_after = np.mean((den - clean) ** 2)
+        assert err_after < err_before * 0.5
+
+    def test_identity_on_clean_low_h(self, rng):
+        """h -> small keeps a clean image nearly unchanged."""
+        clean = rng.uniform(0.2, 0.8, (16, 16, 3)).astype(np.float32)
+        den = np.asarray(nl_means_denoise(jnp.asarray(clean), 1.0))
+        assert np.abs(den - clean).max() < 0.05
+
+    def test_strength_monotone(self, rng):
+        clean = np.zeros((20, 20, 3), np.float32)
+        clean[5:15, 5:15] = 1.0
+        noisy = clean + rng.normal(0, 0.05, clean.shape).astype(np.float32)
+        d5 = np.asarray(nl_means_denoise(jnp.asarray(noisy), 5.0))
+        d30 = np.asarray(nl_means_denoise(jnp.asarray(noisy), 30.0))
+        # stronger h smooths more
+        assert np.var(d30) < np.var(d5)
+
+    def test_batch(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (2, 12, 12, 3)).astype(np.float32))
+        y = nl_means_denoise_batch(x, 10.0)
+        assert y.shape == x.shape
+        single = nl_means_denoise(x[0], 10.0)
+        np.testing.assert_allclose(np.asarray(y[0]), np.asarray(single), atol=1e-6)
+
+    def test_weight_normalization(self):
+        """A constant image is a fixed point for any h."""
+        x = jnp.full((10, 10, 3), 0.42, jnp.float32)
+        y = np.asarray(nl_means_denoise(x, 20.0))
+        np.testing.assert_allclose(y, 0.42, atol=1e-5)

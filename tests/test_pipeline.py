@@ -1,0 +1,180 @@
+"""End-to-end pipeline tests on tiny synthetic videos (hermetic backend).
+
+Models the reference's implicit runtime verifications as real tests
+(SURVEY.md §4): geometry, frame counts, resume fast-forward, sentinels,
+batch fragmentation, both data planes.
+"""
+
+import os
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from upscale_video_tpu.pipeline.chain import BatchedStepper, ChainEngine, ChainSpec
+from upscale_video_tpu.pipeline.process import (
+    default_output_name,
+    prepare_workdir,
+    process_file,
+)
+from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+
+def make_test_video(path: str, n_frames: int = 12, w: int = 32, h: int = 24,
+                    rate=Fraction(24, 1), seed: int = 0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    with Y4MSink(path, w, h, rate) as sink:
+        for i in range(n_frames):
+            f = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            f[:, : 2 + i % 5] = i * 10  # frame-varying structure
+            frames.append(f)
+            sink.write(f)
+    return frames
+
+
+class TestChainSpec:
+    def test_parse_full(self):
+        s = ChainSpec.parse("a,n=3,r")
+        assert s.anime and s.real_life and s.denoise == 3
+        assert s.effective_scale(2) == 4  # 'r' forces 4
+
+    def test_parse_denoise_clamp(self):
+        assert ChainSpec.parse("n=99").denoise == 30
+        assert ChainSpec.parse("n=0").denoise is None
+        assert ChainSpec.parse("n=-5").denoise is None
+
+    def test_parse_empty(self):
+        s = ChainSpec.parse(None)
+        assert not s.anime and not s.real_life and s.denoise is None
+
+    def test_parse_unknown(self):
+        with pytest.raises(ValueError, match="unknown"):
+            ChainSpec.parse("a,z")
+
+
+class TestBatchedStepper:
+    def test_order_and_padding(self):
+        def step(x):
+            return x + 1  # identity-ish marker
+
+        s = BatchedStepper(step, 4)
+        outs = []
+        for i in range(10):
+            frame = np.full((2, 2, 3), i, np.uint8)
+            outs.extend(s.feed(frame))
+        outs.extend(s.flush())
+        assert len(outs) == 10
+        for i, o in enumerate(outs):
+            assert o[0, 0, 0] == i + 1  # order preserved, padding dropped
+
+
+class TestProcessFile:
+    def test_stream_plane_end_to_end(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=10)
+        out = str(tmp_path / "out.y4m")
+        res = process_file(
+            vid, output_file=out, scale=2, temp_dir=str(tmp_path / "t"),
+            batch_size=-3,  # split into 3 parts
+            synthetic_models=True, precision="f32", frames_per_step=4,
+        )
+        assert res.frames_processed == 10
+        with Y4MSource(out) as src:
+            got = list(src)
+        assert len(got) == 10
+        assert got[0].shape == (48, 64, 3)
+        # workdir cleaned up when not resuming
+        assert not os.path.exists(str(tmp_path / "t" / "upscale_video"))
+
+    def test_resume_skips_fragments(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=8)
+        out = str(tmp_path / "out.y4m")
+        tdir = str(tmp_path / "t")
+        # first run with resume keeps the workdir + sentinel
+        r1 = process_file(
+            vid, output_file=out, scale=2, temp_dir=tdir, batch_size=-2,
+            synthetic_models=True, precision="f32", resume_processing=True,
+        )
+        assert r1.frames_processed == 8
+        # second run short-circuits on completed.txt
+        r2 = process_file(
+            vid, output_file=out, scale=2, temp_dir=tdir, batch_size=-2,
+            synthetic_models=True, precision="f32", resume_processing=True,
+        )
+        assert r2 is None
+
+    def test_png_plane_end_to_end(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=6)
+        out = str(tmp_path / "out.y4m")
+        res = process_file(
+            vid, output_file=out, scale=2, temp_dir=str(tmp_path / "t"),
+            batch_size=10, synthetic_models=True, precision="f32",
+            data_plane="png",
+        )
+        assert res.frames_processed == 6
+        with Y4MSource(out) as src:
+            assert len(list(src)) == 6
+
+    def test_planes_agree(self, tmp_path):
+        """Streaming and PNG planes must produce identical pixels."""
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=5)
+        o1 = str(tmp_path / "o1.y4m")
+        o2 = str(tmp_path / "o2.y4m")
+        process_file(vid, output_file=o1, scale=2, temp_dir=str(tmp_path / "t1"),
+                     synthetic_models=True, precision="f32")
+        process_file(vid, output_file=o2, scale=2, temp_dir=str(tmp_path / "t2"),
+                     synthetic_models=True, precision="f32", data_plane="png")
+        with Y4MSource(o1) as a, Y4MSource(o2) as b:
+            for fa, fb in zip(list(a), list(b)):
+                np.testing.assert_array_equal(fa, fb)
+
+    def test_extract_only(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=4)
+        tdir = str(tmp_path / "t")
+        res = process_file(
+            vid, scale=2, temp_dir=tdir, extract_only=True,
+            resume_processing=True, synthetic_models=True,
+        )
+        assert res is None
+        workdir = os.path.join(tdir, "upscale_video")
+        for i in range(1, 5):
+            assert os.path.exists(os.path.join(workdir, f"{i}.extract.png"))
+
+    def test_denoise_chain(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=4)
+        out = str(tmp_path / "out.y4m")
+        res = process_file(
+            vid, output_file=out, scale=2, temp_dir=str(tmp_path / "t"),
+            models="n=5", synthetic_models=True, precision="f32",
+        )
+        assert res.frames_processed == 4
+
+    def test_scale_1_passthrough_denoise(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=4)
+        out = str(tmp_path / "out.y4m")
+        res = process_file(
+            vid, output_file=out, scale=1, temp_dir=str(tmp_path / "t"),
+            models="n=10", synthetic_models=True, precision="f32",
+        )
+        with Y4MSource(out) as src:
+            got = list(src)
+        assert got[0].shape == (24, 32, 3)  # unscaled
+
+    def test_invalid_scale(self, tmp_path):
+        with pytest.raises(ValueError, match="scale"):
+            process_file("nope.y4m", scale=3)
+
+    def test_missing_input(self):
+        with pytest.raises(FileNotFoundError):
+            process_file("/does/not/exist.y4m", scale=2)
+
+    def test_default_output_name(self):
+        assert default_output_name("movie.mkv", 2) == "movie.2x.mkv"
+        assert default_output_name("/a/b/clip.test.mp4", 4) == "/a/b/clip.test.4x.mp4"

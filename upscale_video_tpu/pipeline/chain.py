@@ -1,0 +1,266 @@
+"""Model-chain engine: the fused device program at the heart of the pipeline.
+
+The reference runs each enabled stage as a separate pass over PNG files on
+disk — denoise pool (upscale_processing.py:883-886), anime/deblur pool
+(:888-909), SR pool (:923-948) — re-encoding and re-reading every frame
+between stages.  Here the chain ``denoise -> deblur(1x) -> SR`` is composed
+into **one jitted function** ``uint8 frames -> uint8 frames``: normalization,
+every network, and the final clamp all fuse into a single XLA executable,
+so a frame crosses host<->HBM exactly once in each direction.
+
+The chain DSL is the reference's ``-m`` mini-language (parsed at
+upscale_processing.py:774-789): ``a`` = anime deblur pre-pass, ``n=K`` =
+NL-means denoise at strength K (clamped to 1..30), ``r`` = real-life model
+(4x_Valar_v1, forces scale 4).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upscale_video_tpu.models.zoo import Model, load_model, make_synthetic_model
+from upscale_video_tpu.ops.nlmeans import nl_means_denoise
+from upscale_video_tpu.ops.pixel import frames_to_model, model_to_frames
+from upscale_video_tpu.ops.tiling import tiled_apply
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class ChainSpec:
+    """Parsed ``-m`` model chain."""
+
+    anime: bool = False
+    denoise: Optional[int] = None  # 1..30 or None
+    real_life: bool = False
+
+    @classmethod
+    def parse(cls, models: Optional[str]) -> "ChainSpec":
+        """Parse ``"a,n=3,r"`` with the reference's clamping semantics
+        (upscale_processing.py:774-789: n>30 -> 30, n<=0 -> off)."""
+        spec = cls()
+        if not models:
+            return spec
+        for item in models.split(","):
+            item = item.strip()
+            if item == "a":
+                spec.anime = True
+            elif item == "r":
+                spec.real_life = True
+            elif item.startswith("n="):
+                level = int(item[2:])
+                spec.denoise = min(level, 30) if level > 0 else None
+            elif item:
+                raise ValueError(f"unknown model chain item {item!r}")
+        return spec
+
+    def effective_scale(self, scale: int) -> int:
+        """'r' forces scale 4 (reference upscale_processing.py:779-780)."""
+        return 4 if self.real_life else scale
+
+    def stage_names(self) -> List[str]:
+        out = []
+        if self.denoise:
+            out.append(f"denoise(h={self.denoise})")
+        if self.anime:
+            out.append("anime-deblur")
+        out.append("valar-4x" if self.real_life else "compact-sr")
+        return out
+
+
+@dataclass
+class ChainEngine:
+    """Executes a model chain on batches of uint8 RGB frames.
+
+    ``step`` is the single fused program; :meth:`process` adds host-side
+    batching/tiling policy around it.
+    """
+
+    spec: ChainSpec
+    scale: int
+    sr_model: Optional[Model]
+    anime_model: Optional[Model] = None
+    tile: int = 0  # 0 = whole-frame
+    halo: int = 16
+    channel_order: str = "bgr"
+    _step: Callable = field(default=None, repr=False)
+
+    @classmethod
+    def build(
+        cls,
+        spec: ChainSpec,
+        scale: int,
+        model_path: Optional[str] = None,
+        compute_dtype=jnp.bfloat16,
+        tile: int = 0,
+        halo: int = 16,
+        synthetic: bool = False,
+    ) -> "ChainEngine":
+        """Load the models the chain needs (reference selection logic at
+        upscale_processing.py:888-920).  ``synthetic=True`` builds
+        random-weight Compact stand-ins (benchmarks, tests)."""
+        scale = spec.effective_scale(scale)
+        anime_model = None
+        sr_model = None
+        if spec.anime:
+            anime_model = (
+                make_synthetic_model(scale=1, num_conv=8, num_feat=24, compute_dtype=compute_dtype)
+                if synthetic
+                else load_model("anime", 1, model_path, compute_dtype)
+            )
+        if scale > 1:
+            if synthetic:
+                sr_model = make_synthetic_model(scale=scale, compute_dtype=compute_dtype)
+            else:
+                role = "valar" if spec.real_life else "compact"
+                sr_model = load_model(role, scale, model_path, compute_dtype)
+        return cls(
+            spec=spec, scale=scale, sr_model=sr_model, anime_model=anime_model,
+            tile=tile, halo=halo,
+        )
+
+    def _model_stack(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Float model-domain chain: denoise -> anime -> SR (batched NHWC)."""
+        if self.spec.denoise:
+            h = jnp.float32(self.spec.denoise)
+            x = jax.vmap(lambda im: nl_means_denoise(im, h))(x)
+        if self.anime_model is not None:
+            x = self.anime_model.forward(self.anime_model.params, x)
+        if self.sr_model is not None:
+            if self.tile:
+                fwd = self.sr_model.forward
+                params = self.sr_model.params
+                fn = lambda tiles: fwd(params, tiles)
+                x = jax.vmap(
+                    lambda im: tiled_apply(fn, im, self.tile, self.halo, self.scale)
+                )(x)
+            else:
+                x = self.sr_model.forward(self.sr_model.params, x)
+        return x
+
+    @property
+    def step(self) -> Callable:
+        """The fused jitted program: uint8 (N,H,W,3) -> uint8 (N,sH,sW,3)."""
+        if self._step is None:
+            order = self.channel_order
+
+            def _step(frames_u8):
+                x = frames_to_model(frames_u8, order)
+                y = self._model_stack(x)
+                return model_to_frames(y, order)
+
+            self._step = jax.jit(_step)
+        return self._step
+
+    def process(self, frames_u8: np.ndarray) -> np.ndarray:
+        """Run one host batch through the fused program."""
+        return np.asarray(self.step(jnp.asarray(frames_u8)))
+
+    def stage_fn(self, stage: str) -> Callable:
+        """A single-stage jitted uint8->uint8 program.
+
+        Used by the PNG-compat data plane, which (like the reference's pools
+        at upscale_processing.py:302-392, 545-601) materializes each stage's
+        artifacts on disk for sampling (`test_images`) and repair
+        (`fix_frames`).
+        """
+        order = self.channel_order
+
+        if stage == "denoise":
+            if not self.spec.denoise:
+                raise ValueError("chain has no denoise stage")
+            h = jnp.float32(self.spec.denoise)
+
+            def _fn(frames_u8):
+                x = frames_to_model(frames_u8, order)
+                y = jax.vmap(lambda im: nl_means_denoise(im, h))(x)
+                return model_to_frames(y, order)
+
+        elif stage == "anime":
+            if self.anime_model is None:
+                raise ValueError("chain has no anime stage")
+            model = self.anime_model
+
+            def _fn(frames_u8):
+                x = frames_to_model(frames_u8, order)
+                y = model.forward(model.params, x)
+                return model_to_frames(y, order)
+
+        elif stage == "sr":
+            if self.sr_model is None:
+                raise ValueError("chain has no SR stage (scale 1)")
+            model, tile, halo, scale = self.sr_model, self.tile, self.halo, self.scale
+
+            def _fn(frames_u8):
+                x = frames_to_model(frames_u8, order)
+                if tile:
+                    fn = lambda t: model.forward(model.params, t)
+                    y = jax.vmap(lambda im: tiled_apply(fn, im, tile, halo, scale))(x)
+                else:
+                    y = model.forward(model.params, x)
+                return model_to_frames(y, order)
+
+        else:
+            raise ValueError(f"unknown stage {stage!r}")
+        return jax.jit(_fn)
+
+    def describe(self) -> str:
+        return " -> ".join(self.spec.stage_names()) + f" (scale {self.scale}x)"
+
+
+class BatchedStepper:
+    """Accumulates frames into fixed-size device batches with one-step
+    pipelining: while the device runs batch *i*, the host decodes batch
+    *i+1* (JAX dispatch is asynchronous; results are materialized one
+    batch behind).  This is the TPU replacement for the reference's
+    workers-per-GPU calibration (README:39-63, ``-g 0,0,1`` multisets) —
+    concurrency comes from on-chip batching + async dispatch instead of
+    process pools.
+    """
+
+    def __init__(self, step_fn: Callable, frames_per_step: int):
+        self.step_fn = step_fn
+        self.n = frames_per_step
+        self._buf: List[np.ndarray] = []
+        self._pending = None  # (device_array, valid_count)
+
+    def _dispatch(self, chunk: np.ndarray, valid: int) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        if self._pending is not None:
+            arr, v = self._pending
+            host = np.asarray(arr)
+            out.extend(host[i] for i in range(v))
+        self._pending = (self.step_fn(jnp.asarray(chunk)), valid)
+        return out
+
+    def feed(self, frame: np.ndarray) -> List[np.ndarray]:
+        """Add one frame; returns any completed output frames (in order)."""
+        self._buf.append(frame)
+        if len(self._buf) < self.n:
+            return []
+        chunk = np.stack(self._buf)
+        self._buf = []
+        return self._dispatch(chunk, self.n)
+
+    def flush(self) -> List[np.ndarray]:
+        """Process the trailing partial batch (padded to the static shape so
+        the compiled program is reused) and drain the pipeline."""
+        out: List[np.ndarray] = []
+        if self._buf:
+            valid = len(self._buf)
+            pad = [self._buf[-1]] * (self.n - valid)
+            chunk = np.stack(self._buf + pad)
+            self._buf = []
+            out.extend(self._dispatch(chunk, valid))
+        if self._pending is not None:
+            arr, v = self._pending
+            host = np.asarray(arr)
+            out.extend(host[i] for i in range(v))
+            self._pending = None
+        return out

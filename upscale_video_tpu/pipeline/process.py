@@ -1,0 +1,308 @@
+"""Full-pipeline orchestrator: the ``process_file`` workflow.
+
+TPU-native rebuild of the reference's main driver
+(upscale/upscale_processing.py:733-972).  Capability surface preserved:
+
+- scale validation {1,2,4} (:768), ``-m`` chain DSL (:774-789)
+- default output name ``input.{N}x.{ext}`` (:819-823)
+- temp-dir state machine: ``<temp>/upscale_video``, purge-unless-resume
+  (:827-839), ``completed.txt`` short-circuit (:844-845)
+- batch math incl. negative batch_size = split-into-N (:857-860)
+- per-batch fragments with skip-if-exists resume (:923-926), final concat
+  (:962), cleanup-unless-resume (:969-972)
+- ``--extract_only`` mid-pipeline checkpoint for sampling (:253-255)
+
+Mechanism replaced: the PNG-per-frame-per-stage data plane and spawn pools
+become a **streaming plane** — one sequential decode, frames batched
+through a single fused device program (denoise->deblur->SR in one XLA
+executable), fragments encoded from device output directly.  The PNG plane
+survives as ``data_plane="png"`` for sampling/repair workflows.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from upscale_video_tpu.pipeline.chain import BatchedStepper, ChainEngine, ChainSpec
+from upscale_video_tpu.pipeline import stages
+from upscale_video_tpu.utils.logsetup import setup_logging
+from upscale_video_tpu.video import ffmpeg as ff
+from upscale_video_tpu.video.backend import make_backend
+from upscale_video_tpu.video.frames import (
+    SENTINEL_COMPLETED,
+    calc_batches,
+    frames_per_batch,
+    has_sentinel,
+    write_sentinel,
+)
+
+log = logging.getLogger(__name__)
+
+VALID_SCALES = (1, 2, 4)
+
+
+def default_output_name(input_file: str, scale: int) -> str:
+    """``input.{N}x.{ext}`` (reference upscale_processing.py:819-823);
+    PNG-dir inputs get a ``.y4m`` container."""
+    if os.path.isdir(input_file):
+        return input_file.rstrip(os.sep) + f".{scale}x.y4m"
+    parts = input_file.split(".")
+    return ".".join(parts[:-1] + [f"{scale}x", parts[-1]])
+
+
+def prepare_workdir(temp_dir: Optional[str], resume: bool) -> str:
+    """Create/purge ``<temp>/upscale_video`` (reference :827-839)."""
+    base = temp_dir or tempfile.gettempdir()
+    workdir = os.path.abspath(os.path.join(base, "upscale_video"))
+    if os.path.exists(workdir) and not resume:
+        shutil.rmtree(workdir)
+    os.makedirs(workdir, exist_ok=True)
+    return workdir
+
+
+@dataclass
+class PipelineResult:
+    output_file: str
+    frames_processed: int
+    elapsed_seconds: float
+    frames_per_second: float
+
+
+def process_file(
+    input_file: str,
+    output_file: Optional[str] = None,
+    ffmpeg: Optional[str] = None,
+    ffmpeg_encoder: str = "libx264",
+    pix_fmt: str = "yuv420p",
+    scale: int = 2,
+    temp_dir: Optional[str] = None,
+    batch_size: int = 10,
+    chips: Optional[str] = None,
+    resume_processing: bool = False,
+    extract_only: bool = False,
+    models: Optional[str] = None,
+    log_level: Optional[int] = None,
+    log_dir: Optional[str] = None,
+    model_path: Optional[str] = None,
+    precision: str = "bf16",
+    tile_size: int = 0,
+    halo: int = 16,
+    frames_per_step: int = 4,
+    global_quality: Optional[int] = 20,
+    data_plane: str = "stream",
+    synthetic_models: bool = False,
+) -> Optional[PipelineResult]:
+    """Upscale a video file end to end.  Returns a PipelineResult, or None
+    when the resume sentinel short-circuits.
+
+    Beyond-reference flags: ``tile_size``/``halo`` (hardcoded 960/10 in the
+    reference, upscale_processing.py:489/:409), ``global_quality``
+    (hardcoded 20 at :634), ``precision`` (bf16 MXU fast path vs f32),
+    ``frames_per_step`` (on-chip batch), ``data_plane``.
+    """
+    if scale not in VALID_SCALES:
+        raise ValueError(f"scale must be one of {VALID_SCALES}")
+    if not os.path.exists(input_file):
+        raise FileNotFoundError(input_file)
+
+    spec = ChainSpec.parse(models)
+    scale = spec.effective_scale(scale)
+
+    setup_logging(log_level, log_dir, input_file)
+
+    output_file = output_file or default_output_name(input_file, scale)
+    log.info("processing %s -> %s", input_file, output_file)
+
+    workdir = prepare_workdir(temp_dir, resume_processing)
+    if resume_processing and has_sentinel(workdir, SENTINEL_COMPLETED):
+        log.info("%s already processed (completed.txt)", input_file)
+        return None
+
+    backend = make_backend(
+        ffmpeg, ffmpeg_encoder, pix_fmt,
+        output_format=(input_file.split(".")[-1] if ffmpeg else "y4m"),
+        global_quality=global_quality,
+    )
+
+    info = backend.probe(input_file, workdir)
+    frames_count = info["number_of_frames"]
+    crop = backend.crop_detect(input_file, info["duration"], workdir)
+    if crop:
+        log.info("crop detected: %s", crop)
+
+    per_batch = frames_per_batch(info["frame_rate"], frames_count, batch_size)
+    batches = calc_batches(frames_count, per_batch)
+
+    if extract_only:
+        _extract_all(backend, input_file, info, crop, workdir, ffmpeg)
+        log.info("extract only — frames extraction completed")
+        return None
+
+    compute_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+    engine = ChainEngine.build(
+        spec, scale, model_path=model_path, compute_dtype=compute_dtype,
+        tile=tile_size, halo=halo, synthetic=synthetic_models,
+    )
+    log.info("model chain: %s", engine.describe())
+
+    t0 = time.time()
+    if data_plane == "png":
+        processed = _run_png_plane(
+            engine, backend, input_file, info, crop, workdir, batches,
+            frames_per_step, ffmpeg,
+        )
+    else:
+        processed = _run_stream_plane(
+            engine, backend, input_file, info, crop, workdir, batches,
+            frames_per_step,
+        )
+    elapsed = time.time() - t0
+
+    backend.concat(len(batches), output_file, workdir)
+    write_sentinel(workdir, SENTINEL_COMPLETED, "Completed")
+    fps = processed / elapsed if elapsed > 0 else 0.0
+    log.info(
+        "finished %s: %d frames in %.1fs (%.2f fps)",
+        output_file, processed, elapsed, fps,
+    )
+
+    if not resume_processing:
+        shutil.rmtree(workdir)
+    return PipelineResult(output_file, processed, elapsed, fps)
+
+
+def _extract_all(backend, input_file, info, crop, workdir, ffmpeg) -> int:
+    """Spill every frame as ``{n}.extract.png`` (reference :203-255)."""
+    from upscale_video_tpu.video.backend import FfmpegBackend
+
+    if isinstance(backend, FfmpegBackend):
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            result = ff.run_logged(ff.extract_cmd(ffmpeg, os.path.join(cwd, input_file)
+                                                  if not os.path.isabs(input_file) else input_file,
+                                                  crop))
+            if result.returncode != 0:
+                raise RuntimeError(f"frame extraction failed: {result.stderr[-400:]}")
+        finally:
+            os.chdir(cwd)
+        return info["number_of_frames"]
+    with backend.open_source(input_file, info, crop) as src:
+        return stages.extract_to_pngs(src, workdir)
+
+
+def _run_stream_plane(
+    engine, backend, input_file, info, crop, workdir, batches, frames_per_step,
+) -> int:
+    """Streaming loop: sequential decode -> fused device program ->
+    fragment encoders, with skip-if-exists resume per fragment."""
+    src_h, src_w = backend.source_geometry(info, crop)
+    out_h, out_w = src_h * engine.scale, src_w * engine.scale
+    processed = 0
+
+    source = backend.open_source(input_file, info, crop)
+    try:
+        for batch, (start, end) in batches.items():
+            frag = os.path.join(workdir, backend.fragment_name(batch))
+            if os.path.exists(frag):
+                # resume: fast-forward the decoder past this fragment
+                for _ in range(start, end + 1):
+                    if source.read() is None:
+                        break
+                log.info("batch %d exists, skipped", batch)
+                continue
+            sink = backend.open_fragment_sink(batch, out_w, out_h, info, workdir)
+            stepper = BatchedStepper(engine.step, frames_per_step)
+            wrote = 0
+            try:
+                for f in range(start, end + 1):
+                    frame = source.read()
+                    if frame is None:
+                        log.warning("stream ended early at frame %d", f)
+                        break
+                    for out in stepper.feed(frame):
+                        sink.write(out)
+                        wrote += 1
+                for out in stepper.flush():
+                    sink.write(out)
+                    wrote += 1
+            finally:
+                sink.close()
+            processed += wrote
+            log.info("batch %d: %d frames upscaled+encoded", batch, wrote)
+    finally:
+        source.close()
+    return processed
+
+
+def _run_png_plane(
+    engine, backend, input_file, info, crop, workdir, batches,
+    frames_per_step, ffmpeg,
+) -> int:
+    """Reference-layout plane: extract PNGs, stage passes with tagged
+    artifacts, fragment encode from final PNGs (upscale_processing.py
+    :866-959 semantics, device-batched instead of process pools)."""
+    frames_count = info["number_of_frames"]
+    all_frames = range(1, frames_count + 1)
+
+    last_frag = os.path.join(workdir, backend.fragment_name(len(batches)))
+    need_extract = not any(
+        os.path.exists(os.path.join(workdir, f"{frames_count}.{t}.png"))
+        for t in ("extract", "denoise", "anime")
+    ) and not os.path.exists(last_frag)
+    if need_extract:
+        _extract_all(backend, input_file, info, crop, workdir, ffmpeg)
+
+    in_tag = "extract"
+    if engine.spec.denoise:
+        log.info("starting denoise touchup...")
+        stages.run_stage_pass(
+            workdir, all_frames, in_tag, "denoise",
+            engine.stage_fn("denoise"), frames_per_step,
+            progress_label="Denoised",
+        )
+        in_tag = "denoise"
+    if engine.spec.anime:
+        log.info("starting anime touchup...")
+        stages.run_stage_pass(
+            workdir, all_frames, in_tag, "anime",
+            engine.stage_fn("anime"), frames_per_step,
+            progress_label="Deblurred",
+        )
+        in_tag = "anime"
+
+    processed = 0
+    for batch, (start, end) in batches.items():
+        frag = os.path.join(workdir, backend.fragment_name(batch))
+        if os.path.exists(frag):
+            continue
+        if engine.scale == 1:
+            stages.rename_stage_to_final(workdir, range(start, end + 1), in_tag)
+        else:
+            stages.run_stage_pass(
+                workdir, range(start, end + 1), in_tag, "",
+                engine.stage_fn("sr"), frames_per_step,
+                progress_label=f"Upscaling batch {batch}:",
+            )
+        src_h, src_w = backend.source_geometry(info, crop)
+        sink = backend.open_fragment_sink(
+            batch, src_w * engine.scale, src_h * engine.scale, info, workdir,
+        )
+        try:
+            stages.pngs_to_sink(workdir, start, end, sink)
+        finally:
+            sink.close()
+        for f in range(start, end + 1):
+            os.remove(os.path.join(workdir, f"{f}.png"))
+        processed += end - start + 1
+        log.info("batch %d merged (%d frames total)", batch, end)
+    return processed

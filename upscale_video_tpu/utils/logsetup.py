@@ -1,0 +1,38 @@
+"""Logging configuration matching the reference's observability surface.
+
+Reference: timestamped stdout logging plus an optional per-video DEBUG file
+handler named after the input (upscale/upscale_processing.py:794-807).
+The worker->parent log-relay bus (:40-51) is unnecessary here — there are
+no worker processes; stages log directly.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Optional
+
+FORMAT = "[%(asctime)s] [%(levelname)s] %(message)s"
+DATEFMT = "%Y-%m-%d %H:%M:%S"
+
+
+def setup_logging(
+    log_level: Optional[int] = None,
+    log_dir: Optional[str] = None,
+    input_name: Optional[str] = None,
+) -> None:
+    logging.basicConfig(
+        level=log_level or logging.INFO,
+        format=FORMAT,
+        datefmt=DATEFMT,
+        stream=sys.stdout,
+        force=True,
+    )
+    if log_dir and input_name:
+        base = os.path.basename(input_name)
+        stem = base.rsplit(".", 1)[0] if "." in base else base
+        fh = logging.FileHandler(os.path.join(log_dir, stem + ".log"))
+        fh.setFormatter(logging.Formatter(FORMAT))
+        fh.setLevel(logging.DEBUG)
+        logging.getLogger().addHandler(fh)

@@ -1,0 +1,212 @@
+"""Video backends: how the pipeline decodes sources and encodes fragments.
+
+Two interchangeable data planes:
+
+- :class:`FfmpegBackend` — production: ffprobe metadata + cropdetect, ONE
+  sequential rawvideo decode pipe feeding the device (replacing the
+  reference's extract-everything-to-PNG stage at
+  upscale/upscale_processing.py:203-255), and one encoder pipe per
+  fragment (replacing :604-686), concat via the concat demuxer (:689-730).
+- :class:`HermeticBackend` — pure-Python Y4M / PNG-directory I/O with the
+  same fragment/concat/resume semantics; used when no ffmpeg binary is
+  available (and by the test suite).
+
+Both keep the reference's durable layout in the working dir: fragments are
+``{batch}.{ext}`` with skip-if-exists resume (:925-926), metadata cached in
+``metadata.json``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from abc import ABC, abstractmethod
+from fractions import Fraction
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from upscale_video_tpu.video import ffmpeg as ff
+from upscale_video_tpu.video.io import (
+    FfmpegPipeSink,
+    FfmpegPipeSource,
+    FrameSink,
+    FrameSource,
+    PngDirSource,
+    Y4MSink,
+    Y4MSource,
+)
+
+log = logging.getLogger(__name__)
+
+
+class VideoBackend(ABC):
+    @abstractmethod
+    def probe(self, input_file: str, workdir: str) -> Dict:
+        """Metadata dict with number_of_frames/duration/frame_rate/
+        width/height, cached in workdir/metadata.json."""
+
+    @abstractmethod
+    def crop_detect(self, input_file: str, duration: float, workdir: str) -> str:
+        ...
+
+    @abstractmethod
+    def open_source(self, input_file: str, info: Dict, crop: str) -> FrameSource:
+        """Sequential source over the whole video (after cropping)."""
+
+    @abstractmethod
+    def open_fragment_sink(
+        self, batch: int, width: int, height: int, info: Dict, workdir: str
+    ) -> FrameSink:
+        ...
+
+    @abstractmethod
+    def fragment_name(self, batch: int) -> str:
+        ...
+
+    @abstractmethod
+    def concat(self, num_batches: int, output_file: str, workdir: str) -> None:
+        ...
+
+    def source_geometry(self, info: Dict, crop: str) -> Tuple[int, int]:
+        """(height, width) the model will see (crop applied)."""
+        c = ff.parse_crop_filter(crop) if crop else None
+        if c:
+            return c["height"], c["width"]
+        return info["height"], info["width"]
+
+
+class FfmpegBackend(VideoBackend):
+    def __init__(self, ffmpeg: str, encoder: str = "libx264",
+                 pix_fmt: str = "yuv420p", output_format: str = "mkv",
+                 global_quality: Optional[int] = 20):
+        self.ffmpeg = ffmpeg
+        self.encoder = encoder
+        self.pix_fmt = pix_fmt
+        self.output_format = output_format
+        self.global_quality = global_quality
+
+    def probe(self, input_file, workdir):
+        return ff.get_metadata(self.ffmpeg, input_file, cache_dir=workdir)
+
+    def crop_detect(self, input_file, duration, workdir):
+        return ff.get_crop_detect(self.ffmpeg, input_file, duration, cache_dir=workdir)
+
+    def open_source(self, input_file, info, crop):
+        h, w = self.source_geometry(info, crop)
+        return FfmpegPipeSource(
+            self.ffmpeg, input_file, width=w, height=h,
+            frame_rate=Fraction(info["frame_rate_fraction"]),
+            crop_filter=crop, num_frames=info["number_of_frames"],
+        )
+
+    def fragment_name(self, batch):
+        return f"{batch}.{self.output_format}"
+
+    def open_fragment_sink(self, batch, width, height, info, workdir):
+        return FfmpegPipeSink(
+            self.ffmpeg, os.path.join(workdir, self.fragment_name(batch)),
+            width=width, height=height,
+            frame_rate=Fraction(info["frame_rate_fraction"]),
+            encoder=self.encoder, pix_fmt=self.pix_fmt,
+            global_quality=self.global_quality,
+        )
+
+    def concat(self, num_batches, output_file, workdir):
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            ff.concat_fragments(self.ffmpeg, num_batches, output_file)
+        finally:
+            os.chdir(cwd)
+
+
+class HermeticBackend(VideoBackend):
+    """Y4M-in / Y4M-out (or PNG-dir in) with no external binaries."""
+
+    output_format = "y4m"
+
+    def probe(self, input_file, workdir):
+        cache = os.path.join(workdir, "metadata.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                return json.load(f)
+        if input_file is None:
+            raise FileNotFoundError("metadata.json not found and no input file")
+        if os.path.isdir(input_file):
+            src = PngDirSource(input_file, tag="")
+            n = len(glob.glob(os.path.join(input_file, "*.png")))
+            rate = src.frame_rate
+            w, h = src.width, src.height
+            src.close()
+        elif input_file.endswith(".y4m"):
+            with Y4MSource(input_file) as src:
+                rate, w, h = src.frame_rate, src.width, src.height
+                n = 0
+                while src.read() is not None:
+                    n += 1
+        else:
+            raise ValueError(
+                f"hermetic backend reads .y4m or PNG dirs, got {input_file!r}; "
+                f"pass --ffmpeg for compressed containers"
+            )
+        info = {
+            "number_of_frames": n,
+            "duration": float(n / rate),
+            "frame_rate": float(rate),
+            "frame_rate_fraction": f"{rate.numerator}/{rate.denominator}",
+            "width": w,
+            "height": h,
+            "format": {"filename": str(input_file)},
+        }
+        with open(cache, "w") as f:
+            json.dump(info, f)
+        return info
+
+    def crop_detect(self, input_file, duration, workdir):
+        return ""  # no detector without ffmpeg; geometry passes through
+
+    def open_source(self, input_file, info, crop):
+        if os.path.isdir(input_file):
+            return PngDirSource(
+                input_file, tag="",
+                frame_rate=Fraction(info["frame_rate_fraction"]),
+            )
+        return Y4MSource(input_file)
+
+    def fragment_name(self, batch):
+        return f"{batch}.{self.output_format}"
+
+    def open_fragment_sink(self, batch, width, height, info, workdir):
+        return Y4MSink(
+            os.path.join(workdir, self.fragment_name(batch)),
+            width, height, Fraction(info["frame_rate_fraction"]),
+        )
+
+    def concat(self, num_batches, output_file, workdir):
+        """Frame-accurate concat of y4m fragments into one stream."""
+        first = Y4MSource(os.path.join(workdir, self.fragment_name(1)))
+        sink = Y4MSink(output_file, first.width, first.height, first.frame_rate)
+        try:
+            for f in first:
+                sink.write(f)
+            first.close()
+            for b in range(2, num_batches + 1):
+                with Y4MSource(os.path.join(workdir, self.fragment_name(b))) as src:
+                    for f in src:
+                        sink.write(f)
+        finally:
+            sink.close()
+        for b in range(1, num_batches + 1):
+            os.remove(os.path.join(workdir, self.fragment_name(b)))
+
+
+def make_backend(
+    ffmpeg: Optional[str], encoder: str = "libx264", pix_fmt: str = "yuv420p",
+    output_format: str = "mkv", global_quality: Optional[int] = 20,
+) -> VideoBackend:
+    if ffmpeg:
+        return FfmpegBackend(ffmpeg, encoder, pix_fmt, output_format, global_quality)
+    return HermeticBackend()

@@ -1,0 +1,369 @@
+"""Frame sources and sinks: the framework's streaming data plane.
+
+The reference's data plane is a PNG file per frame per stage on disk
+(~300 GB for a 2-hour movie — upscale/upscale_processing.py:232-234).
+Here the primary plane is **streaming**: a source yields uint8 RGB frames
+into host ring buffers feeding the device, and a sink drains upscaled
+frames; nothing is spilled unless a compatibility mode asks for it.
+
+Implementations:
+
+- :class:`FfmpegPipeSource` / :class:`FfmpegPipeSink` — production path:
+  ffmpeg decodes/encodes via rawvideo rgb24 pipes (no PNG codec work at
+  all, replacing upscale_processing.py:214-245 extract + :615-650 merge).
+- :class:`Y4MSource` / :class:`Y4MSink` — hermetic uncompressed YUV4MPEG2,
+  pure Python; used by tests and available to users without ffmpeg.
+- :class:`PngDirSource` / :class:`PngDirSink` — the reference's
+  ``{frame}.{tag}.png`` layout (PIL), kept for ``--extract_only`` sampling,
+  repair, and split-machine compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from abc import ABC, abstractmethod
+from fractions import Fraction
+from typing import IO, Iterator, List, Optional
+
+import numpy as np
+
+
+class FrameSource(ABC):
+    """Iterates uint8 RGB (H, W, 3) frames."""
+
+    width: int
+    height: int
+    frame_rate: Fraction
+    num_frames: Optional[int] = None  # None when unknown (pipes)
+
+    @abstractmethod
+    def read(self) -> Optional[np.ndarray]:
+        """Next frame or None at end of stream."""
+
+    def close(self) -> None:
+        pass
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            f = self.read()
+            if f is None:
+                return
+            yield f
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FrameSink(ABC):
+    @abstractmethod
+    def write(self, frame: np.ndarray) -> None:
+        """Write one uint8 RGB (H, W, 3) frame."""
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — hermetic uncompressed video. C444 keeps chroma lossless
+# geometry; RGB<->YCbCr is full-range BT.601 (round-trip error <= 1/255).
+# ---------------------------------------------------------------------------
+
+def _rgb_to_ycbcr_full(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = [rgb[..., i].astype(np.float32) for i in range(3)]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 + (b - y) * (0.5 / (1.0 - 0.114))
+    cr = 128.0 + (r - y) * (0.5 / (1.0 - 0.299))
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb_full(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float32)
+    cb = ycc[..., 1].astype(np.float32) - 128.0
+    cr = ycc[..., 2].astype(np.float32) - 128.0
+    r = y + cr * (1.0 - 0.299) / 0.5
+    b = y + cb * (1.0 - 0.114) / 0.5
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class Y4MSource(FrameSource):
+    """Reads YUV4MPEG2 (C444 or C420/C420jpeg/C420mpeg2) as RGB frames."""
+
+    def __init__(self, path_or_file):
+        self._own = isinstance(path_or_file, (str, os.PathLike))
+        self._f: IO[bytes] = (
+            open(path_or_file, "rb") if self._own else path_or_file
+        )
+        header = self._readline()
+        if not header.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 stream")
+        self.colorspace = "C420jpeg"
+        self.frame_rate = Fraction(25, 1)
+        for tok in header.split()[1:]:
+            c, v = tok[:1], tok[1:].decode()
+            if c == b"W":
+                self.width = int(v)
+            elif c == b"H":
+                self.height = int(v)
+            elif c == b"F":
+                n, d = v.split(":")
+                self.frame_rate = Fraction(int(n), int(d))
+            elif c == b"C":
+                self.colorspace = "C" + v
+        if self.colorspace.startswith("C444"):
+            self._planes = [(self.height, self.width)] * 3
+        elif self.colorspace.startswith("C420"):
+            self._planes = [
+                (self.height, self.width),
+                (self.height // 2, self.width // 2),
+                (self.height // 2, self.width // 2),
+            ]
+        else:
+            raise NotImplementedError(f"y4m colorspace {self.colorspace}")
+
+    def _readline(self) -> bytes:
+        out = bytearray()
+        while True:
+            ch = self._f.read(1)
+            if not ch or ch == b"\n":
+                return bytes(out)
+            out += ch
+
+    def read(self) -> Optional[np.ndarray]:
+        marker = self._readline()
+        if not marker:
+            return None
+        if not marker.startswith(b"FRAME"):
+            raise ValueError(f"bad frame marker {marker!r}")
+        planes = []
+        for h, w in self._planes:
+            buf = self._f.read(h * w)
+            if len(buf) != h * w:
+                raise ValueError("truncated y4m frame")
+            planes.append(np.frombuffer(buf, np.uint8).reshape(h, w))
+        y, u, v = planes
+        if u.shape != y.shape:  # upsample 420 chroma
+            u = np.repeat(np.repeat(u, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+            v = np.repeat(np.repeat(v, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+        return _ycbcr_to_rgb_full(np.stack([y, u, v], axis=-1))
+
+    def close(self) -> None:
+        if self._own:
+            self._f.close()
+
+
+class Y4MSink(FrameSink):
+    """Writes RGB frames as YUV4MPEG2 C444 (lossless geometry)."""
+
+    def __init__(self, path_or_file, width: int, height: int, frame_rate: Fraction):
+        self._own = isinstance(path_or_file, (str, os.PathLike))
+        self._f: IO[bytes] = (
+            open(path_or_file, "wb") if self._own else path_or_file
+        )
+        self.width, self.height = width, height
+        fr = Fraction(frame_rate)
+        self._f.write(
+            f"YUV4MPEG2 W{width} H{height} F{fr.numerator}:{fr.denominator} "
+            f"Ip A1:1 C444\n".encode()
+        )
+
+    def write(self, frame: np.ndarray) -> None:
+        if frame.shape != (self.height, self.width, 3):
+            raise ValueError(f"frame shape {frame.shape} != sink geometry")
+        ycc = _rgb_to_ycbcr_full(frame)
+        self._f.write(b"FRAME\n")
+        for i in range(3):
+            self._f.write(np.ascontiguousarray(ycc[..., i]).tobytes())
+
+    def close(self) -> None:
+        self._f.flush()
+        if self._own:
+            self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# PNG directory — the reference's {frame}.{tag}.png layout
+# (upscale_processing.py:336-337, 582-583); 1-indexed frames.
+# ---------------------------------------------------------------------------
+
+class PngDirSource(FrameSource):
+    def __init__(self, directory: str, tag: str = "extract",
+                 start: int = 1, end: Optional[int] = None,
+                 frame_rate: Fraction = Fraction(24, 1)):
+        from PIL import Image  # lazy; PIL only needed for PNG mode
+
+        self._Image = Image
+        self.dir = directory
+        self.tag = tag
+        self.frame_rate = Fraction(frame_rate)
+        self._next = start
+        self._end = end
+        first = self._path(start)
+        if not os.path.exists(first):
+            raise FileNotFoundError(first)
+        with Image.open(first) as im:
+            self.width, self.height = im.size
+        if end is not None:
+            self.num_frames = end - start + 1
+
+    def _path(self, idx: int) -> str:
+        name = f"{idx}.{self.tag}.png" if self.tag else f"{idx}.png"
+        return os.path.join(self.dir, name)
+
+    def read(self) -> Optional[np.ndarray]:
+        if self._end is not None and self._next > self._end:
+            return None
+        p = self._path(self._next)
+        if not os.path.exists(p):
+            return None
+        with self._Image.open(p) as im:
+            arr = np.asarray(im.convert("RGB"))
+        self._next += 1
+        return arr
+
+
+class PngDirSink(FrameSink):
+    def __init__(self, directory: str, tag: str = "", start: int = 1):
+        from PIL import Image
+
+        self._Image = Image
+        self.dir = directory
+        self.tag = tag
+        self._next = start
+        os.makedirs(directory, exist_ok=True)
+
+    def write(self, frame: np.ndarray) -> None:
+        name = f"{self._next}.{self.tag}.png" if self.tag else f"{self._next}.png"
+        self._Image.fromarray(frame).save(os.path.join(self.dir, name))
+        self._next += 1
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg rawvideo pipes — the production streaming path
+# ---------------------------------------------------------------------------
+
+class FfmpegPipeSource(FrameSource):
+    """Decode any container via ``ffmpeg ... -f rawvideo -pix_fmt rgb24 -``.
+
+    Replaces the reference's extract-to-PNG stage
+    (upscale_processing.py:214-245) with a zero-spill pipe.
+    """
+
+    def __init__(self, ffmpeg: str, input_file: str, width: int, height: int,
+                 frame_rate: Fraction, crop_filter: str = "",
+                 num_frames: Optional[int] = None, start_frame: int = 1,
+                 extra_args: Optional[List[str]] = None):
+        self.width, self.height = width, height
+        self.frame_rate = Fraction(frame_rate)
+        self.num_frames = num_frames
+        cmds = [ffmpeg, "-hide_banner", "-loglevel", "error",
+                "-hwaccel", "auto", "-i", input_file]
+        vf = []
+        if crop_filter:
+            vf.append(crop_filter)
+        if start_frame > 1:
+            vf.append(f"select=gte(n\\,{start_frame - 1})")
+        if vf:
+            cmds += ["-vf", ",".join(vf)]
+        if num_frames is not None:
+            cmds += ["-frames:v", str(num_frames)]
+        cmds += extra_args or []
+        cmds += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+        self.args = cmds
+        self._proc = subprocess.Popen(
+            cmds, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+        )
+        self._frame_bytes = width * height * 3
+
+    def read(self) -> Optional[np.ndarray]:
+        buf = self._proc.stdout.read(self._frame_bytes)
+        if not buf:
+            return None
+        if len(buf) != self._frame_bytes:
+            raise IOError("truncated rawvideo frame from ffmpeg")
+        return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
+
+    def close(self) -> None:
+        if self._proc.stdout:
+            self._proc.stdout.close()
+        self._proc.terminate()
+        self._proc.wait()
+
+
+class FfmpegPipeSink(FrameSink):
+    """Encode a fragment via rawvideo stdin -> ``ffmpeg -vcodec <enc> out``.
+
+    Replaces the reference's PNG-sequence fragment encode
+    (upscale_processing.py:615-650); quality knob promoted to a flag
+    (the reference hardcodes ``-global_quality 20`` at :634-635).
+    """
+
+    def __init__(self, ffmpeg: str, output_file: str, width: int, height: int,
+                 frame_rate: Fraction, encoder: str = "libx264",
+                 pix_fmt: str = "yuv420p", global_quality: Optional[int] = 20,
+                 extra_args: Optional[List[str]] = None):
+        self.width, self.height = width, height
+        fr = Fraction(frame_rate)
+        cmds = [ffmpeg, "-hide_banner", "-loglevel", "error", "-y",
+                "-f", "rawvideo", "-pix_fmt", "rgb24",
+                "-s", f"{width}x{height}",
+                "-r", f"{fr.numerator}/{fr.denominator}",
+                "-i", "-", "-vcodec", encoder, "-pix_fmt", pix_fmt]
+        if global_quality is not None:
+            cmds += ["-global_quality", str(global_quality)]
+        cmds += extra_args or []
+        cmds += [output_file]
+        self.args = cmds
+        self._proc = subprocess.Popen(
+            cmds, stdin=subprocess.PIPE, stderr=subprocess.PIPE
+        )
+
+    def write(self, frame: np.ndarray) -> None:
+        if frame.shape != (self.height, self.width, 3):
+            raise ValueError(f"frame shape {frame.shape} != sink geometry")
+        self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+
+    def close(self) -> None:
+        self._proc.stdin.close()
+        ret = self._proc.wait()
+        err = self._proc.stderr.read().decode(errors="replace")
+        if ret != 0:
+            raise IOError(f"ffmpeg encoder failed ({ret}): {err[-500:]}")
+
+
+# ---------------------------------------------------------------------------
+# Dispatch by path/extension
+# ---------------------------------------------------------------------------
+
+def open_source(path: str, **kw) -> FrameSource:
+    if os.path.isdir(path):
+        return PngDirSource(path, **kw)
+    if path.endswith(".y4m"):
+        return Y4MSource(path)
+    raise ValueError(
+        f"no hermetic reader for {path!r}; use FfmpegPipeSource with an "
+        f"ffmpeg binary for compressed containers"
+    )
+
+
+def open_sink(path: str, width: int, height: int, frame_rate, **kw) -> FrameSink:
+    if path.endswith(".y4m"):
+        return Y4MSink(path, width, height, frame_rate)
+    if path.endswith(os.sep) or os.path.isdir(path) or "." not in os.path.basename(path):
+        return PngDirSink(path, **kw)
+    raise ValueError(
+        f"no hermetic writer for {path!r}; use FfmpegPipeSink with an "
+        f"ffmpeg binary for compressed containers"
+    )
