@@ -8,12 +8,19 @@ hardware.  JAX runs the same XLA programs on CPU, and
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the host image exports JAX_PLATFORMS=axon,cpu (real TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# A pytest plugin in this image imports jax before conftest runs, so the env
+# var alone is too late; backends initialize lazily, so the config API works.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,153 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8 per SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from upscale_video_tpu.models.bin_loader import synthesize_weights
+from upscale_video_tpu.models.executor import build_forward
+from upscale_video_tpu.models.zoo import make_srvgg_graph, make_synthetic_model
+from upscale_video_tpu.parallel.data import data_parallel_fn, shard_batch
+from upscale_video_tpu.parallel.mesh import (
+    describe_devices,
+    make_mesh,
+    parse_chips,
+    parse_mesh_spec,
+)
+from upscale_video_tpu.parallel.spatial import shard_frame_batch, spatial_forward
+from upscale_video_tpu.train.trainer import (
+    make_sharded_train_step,
+    make_train_state,
+    make_train_step,
+    synthesize_pairs,
+)
+
+
+def _model_fwd(scale=2, num_conv=2, feat=8, seed=0):
+    g = make_srvgg_graph(scale=scale, num_conv=num_conv, num_feat=feat)
+    params = synthesize_weights(g, seed=seed)
+    fwd = build_forward(g, compute_dtype=jnp.float32)
+    return fwd, params, num_conv + 2
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh(self):
+        m = make_mesh("dp=2,sp=4")
+        assert m.shape == {"dp": 2, "sp": 4}
+
+    def test_mesh_inferred_axis(self):
+        m = make_mesh("dp=2,sp=-1")
+        assert m.shape["sp"] == 4
+
+    def test_mesh_subset(self):
+        # smaller meshes use the first N devices (like -g subset selection)
+        m = make_mesh("dp=3,sp=2")
+        assert m.shape == {"dp": 3, "sp": 2}
+
+    def test_mesh_too_big(self):
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh("dp=16")
+
+    def test_parse_chips(self):
+        assert parse_chips("0,0,1") == ([0, 1], 2)
+        assert parse_chips(None) == ([0], 1)
+        with pytest.raises(ValueError, match="invalid"):
+            parse_chips("a,b")
+
+    def test_parse_mesh_spec(self):
+        assert parse_mesh_spec("dp=2, sp=4") == {"dp": 2, "sp": 4}
+
+    def test_describe_devices(self):
+        lines = describe_devices()
+        assert len(lines) == 8 and "chip 0" in lines[0]
+
+
+class TestDataParallel:
+    def test_dp_matches_single(self, rng):
+        fwd, params, _ = _model_fwd()
+        mesh = make_mesh("dp=8")
+        x = rng.uniform(0, 1, (8, 8, 8, 3)).astype(np.float32)
+        single = np.asarray(fwd(params, x))
+        dp = data_parallel_fn(lambda b: fwd(params, b), mesh)
+        got = np.asarray(dp(x))
+        np.testing.assert_allclose(got, single, atol=1e-5)
+
+    def test_shard_batch_divisibility(self, rng):
+        mesh = make_mesh("dp=8")
+        with pytest.raises(ValueError, match="divisible"):
+            shard_batch(np.zeros((6, 4, 4, 3)), mesh)
+
+
+class TestSpatialParallel:
+    def test_sp_matches_single_interior_halo(self, rng):
+        """SP forward with halo >= receptive field matches single device."""
+        fwd, params, rf = _model_fwd(num_conv=2)
+        mesh = make_mesh("sp=4")
+        x = rng.uniform(0, 1, (1, 32, 16, 3)).astype(np.float32)
+        want = np.asarray(fwd(params, x))
+        got = np.asarray(
+            spatial_forward(fwd, params, jnp.asarray(x), mesh, halo=rf, scale=2)
+        )
+        assert got.shape == want.shape
+        # exact away from the global frame border (zero-context approximation
+        # there, same class as the reference's borderless edge tiles)
+        m = 2 * rf
+        np.testing.assert_allclose(got[:, m:-m], want[:, m:-m], atol=1e-4)
+
+    def test_sp_with_dp(self, rng):
+        fwd, params, rf = _model_fwd(num_conv=1)
+        mesh = make_mesh("dp=2,sp=4")
+        x = rng.uniform(0, 1, (2, 16, 8, 3)).astype(np.float32)
+        want = np.asarray(fwd(params, x))
+        xs = shard_frame_batch(jnp.asarray(x), mesh)
+        got = np.asarray(
+            spatial_forward(
+                fwd, params, xs, mesh, halo=rf, scale=2, extra_axes=("dp",)
+            )
+        )
+        m = 2 * rf
+        np.testing.assert_allclose(got[:, m:-m], want[:, m:-m], atol=1e-4)
+
+    def test_sp_indivisible_raises(self, rng):
+        fwd, params, rf = _model_fwd()
+        mesh = make_mesh("sp=4")
+        with pytest.raises(ValueError, match="divisible"):
+            spatial_forward(fwd, params, jnp.zeros((1, 30, 8, 3)), mesh, halo=2)
+
+
+class TestTraining:
+    def test_loss_decreases_single(self, rng):
+        model = make_synthetic_model(scale=2, num_conv=2, num_feat=8,
+                                     compute_dtype=jnp.float32)
+        state, tx = make_train_state(model, learning_rate=1e-3)
+        step = make_train_step(model, tx)
+        lr_imgs, hr_imgs = synthesize_pairs(rng, 4, 8, 8, 2)
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, lr_imgs, hr_imgs)
+            losses.append(loss)
+        assert losses[-1] < losses[0]
+
+    def test_sharded_step_matches_single(self, rng):
+        """dp x sp sharded training must produce the same loss/params as
+        single-device training (GSPMD correctness check)."""
+        model = make_synthetic_model(scale=2, num_conv=1, num_feat=8,
+                                     compute_dtype=jnp.float32)
+        state, tx = make_train_state(model, learning_rate=1e-3)
+        mesh = make_mesh("dp=2,sp=4")
+        sharded = make_sharded_train_step(model, tx, mesh)
+        single = make_train_step(model, tx)
+
+        lr_imgs, hr_imgs = synthesize_pairs(rng, 2, 16, 8, 2)
+        p1, o1, loss1 = sharded(state.params, state.opt_state, lr_imgs, hr_imgs)
+        _, loss2 = single(state, lr_imgs, hr_imgs)
+        assert abs(float(loss1) - loss2) < 1e-5
+        # one more step on the sharded path must keep improving
+        _, _, loss3 = sharded(p1, o1, lr_imgs, hr_imgs)
+        assert float(loss3) < float(loss1)

@@ -1,0 +1,183 @@
+"""Tests for the companion workflows: split-machine, repair, sampling, CLIs."""
+
+import os
+import zipfile
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from tests.test_pipeline import make_test_video
+from upscale_video_tpu.pipeline.workflows import (
+    fix_frames,
+    merge_only,
+    process_image,
+    upscale_only,
+)
+from upscale_video_tpu.video.io import Y4MSource
+
+
+class TestSplitMachine:
+    def test_upscale_then_merge(self, tmp_path):
+        """Full split-machine round trip: upscale box -> zips -> encode box."""
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=6)
+        tdir = str(tmp_path / "t")
+
+        n = upscale_only(
+            vid, scale=2, temp_dir=tdir, batch_size=-2,
+            synthetic_models=True, precision="f32", frames_per_step=4,
+        )
+        assert n == 6
+        workdir = os.path.join(tdir, "upscale_video")
+        assert os.path.exists(os.path.join(workdir, "upscaled.txt"))
+        zips = [f for f in os.listdir(workdir) if f.endswith(".zip")]
+        assert len(zips) >= 1
+        # zip contents are final {frame}.png files
+        with zipfile.ZipFile(os.path.join(workdir, "1.zip")) as zf:
+            assert "1.png" in zf.namelist()
+
+        out = merge_only(output_dir=str(tmp_path), temp_dir=tdir)
+        assert out is not None and out.endswith(".upscaled.y4m")
+        with Y4MSource(out) as src:
+            frames = list(src)
+        assert len(frames) == 6
+        assert frames[0].shape == (48, 64, 3)
+        assert os.path.exists(os.path.join(workdir, "merged.txt"))
+        # rerun short-circuits on sentinel
+        assert merge_only(output_dir=str(tmp_path), temp_dir=tdir) is None
+
+    def test_upscale_only_sentinel(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=3)
+        tdir = str(tmp_path / "t")
+        upscale_only(vid, scale=2, temp_dir=tdir, synthetic_models=True,
+                     precision="f32")
+        assert upscale_only(vid, scale=2, temp_dir=tdir,
+                            synthetic_models=True, precision="f32") is None
+
+    def test_upscale_dir_handoff(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=3)
+        share = str(tmp_path / "share")
+        os.makedirs(share)
+        upscale_only(
+            vid, scale=2, temp_dir=str(tmp_path / "t"), upscale_dir=share,
+            synthetic_models=True, precision="f32",
+        )
+        assert os.path.exists(os.path.join(share, "1.zip"))
+        assert os.path.exists(os.path.join(share, "metadata.json"))
+
+
+class TestFixFrames:
+    def test_repair_missing_frames(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=6)
+        tdir = str(tmp_path / "t")
+        workdir = os.path.join(tdir, "upscale_video")
+
+        # simulate a partial run: extract-only first
+        from upscale_video_tpu.pipeline.process import process_file
+
+        process_file(vid, scale=2, temp_dir=tdir, extract_only=True,
+                     resume_processing=True, synthetic_models=True)
+        # corrupt the store: remove two extracted frames
+        os.remove(os.path.join(workdir, "2.extract.png"))
+        os.remove(os.path.join(workdir, "5.extract.png"))
+
+        fixed = fix_frames(
+            vid, "2,5", scale=2, temp_dir=tdir,
+            synthetic_models=True, precision="f32",
+        )
+        assert fixed == [2, 5]
+        for f in (2, 5):
+            assert os.path.exists(os.path.join(workdir, f"{f}.png"))
+        # unrequested re-extracted frames were pruned
+        assert not os.path.exists(os.path.join(workdir, "3.extract.png.tmp"))
+
+    def test_repair_upscale_stage_only(self, tmp_path):
+        """Frames with extract artifacts present are NOT re-extracted."""
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=4)
+        tdir = str(tmp_path / "t")
+        workdir = os.path.join(tdir, "upscale_video")
+        from upscale_video_tpu.pipeline.process import process_file
+
+        process_file(vid, scale=2, temp_dir=tdir, extract_only=True,
+                     resume_processing=True, synthetic_models=True)
+        marker = os.path.getmtime(os.path.join(workdir, "3.extract.png"))
+        fix_frames(vid, "3", scale=2, temp_dir=tdir,
+                   synthetic_models=True, precision="f32")
+        assert os.path.exists(os.path.join(workdir, "3.png"))
+
+
+class TestProcessImage:
+    def test_sampling(self, tmp_path):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=4)
+        tdir = str(tmp_path / "t")
+        outdir = str(tmp_path / "samples")
+        os.makedirs(outdir)
+        from upscale_video_tpu.pipeline.process import process_file
+
+        process_file(vid, scale=2, temp_dir=tdir, extract_only=True,
+                     resume_processing=True, synthetic_models=True)
+        outs = process_image(
+            "1,3", tdir, outdir, scale=2, models="n=5",
+            synthetic_models=True, precision="f32",
+        )
+        assert len(outs) == 2
+        assert os.path.exists(os.path.join(outdir, "1.n=5.png"))
+        # intermediates kept for eyeballing (remove=False semantics)
+        assert os.path.exists(os.path.join(outdir, "1.extract.png"))
+        assert os.path.exists(os.path.join(outdir, "1.denoise.png"))
+
+
+class TestCLIs:
+    def test_upscale_video_cli(self, tmp_path):
+        from upscale_video_tpu.cli.upscale_video import main
+
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=4)
+        out = str(tmp_path / "out.y4m")
+        rc = main([
+            "-i", vid, "-o", out, "-t", str(tmp_path / "t"),
+            "--synthetic_models", "--precision", "f32",
+        ])
+        assert rc == 0
+        with Y4MSource(out) as src:
+            assert len(list(src)) == 4
+
+    def test_cli_parsers_cover_reference_flags(self):
+        """Every reference flag letter must exist on the matching CLI."""
+        from upscale_video_tpu.cli.upscale_video import build_parser as bv
+        from upscale_video_tpu.cli.upscale_only import build_parser as bu
+        from upscale_video_tpu.cli.merge_only import build_parser as bm
+        from upscale_video_tpu.cli.fix_frames import build_parser as bf
+        from upscale_video_tpu.cli.test_images import build_parser as bi
+        from upscale_video_tpu.cli.test_chips import build_parser as bc
+
+        def flags(parser):
+            out = set()
+            for a in parser._actions:
+                out.update(a.option_strings)
+            return out
+
+        assert {"-i", "-o", "-f", "-e", "-p", "-m", "-s", "-t", "-b", "-g",
+                "-r", "-x", "-l", "-d"} <= flags(bv())
+        assert {"-i", "-f", "-m", "-s", "-t", "-b", "-g", "-u", "-x", "-l",
+                "-d"} <= flags(bu())
+        assert {"-o", "-f", "-e", "-t", "-l", "-d", "-p"} <= flags(bm())
+        assert {"-i", "-b", "-f", "-m", "-s", "-t", "-g", "-l", "-d"} <= flags(bf())
+        assert {"-i", "-t", "-o", "-s", "-m", "-g"} <= flags(bi())
+        assert {"-g", "-s", "-r"} <= flags(bc())
+
+    def test_calibration(self):
+        from upscale_video_tpu.pipeline.calibrate import run_calibration
+
+        pts = run_calibration(
+            runs=2, batch_depths=(1, 2), height=32, width=32,
+            synthetic_models=True, precision="f32",
+        )
+        assert len(pts) == 2
+        assert all(p.frames_per_second > 0 for p in pts)

@@ -1,0 +1,98 @@
+"""Chip calibration: enumerate TPUs and time candidate configurations.
+
+Replaces the reference's Vulkan calibration tool (test_gpus.py:38-112): it
+enumerated GPUs via ncnn and timed ``upscale_image`` runs so users could
+pick a workers-per-GPU multiset (README:39-63).  On TPU the tunable is
+**frames per device step** (and optionally chips), so calibration sweeps
+batch depths and reports frames/sec for each.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from upscale_video_tpu.parallel.mesh import describe_devices, parse_chips
+from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class CalibrationPoint:
+    frames_per_step: int
+    seconds_per_step: float
+    frames_per_second: float
+
+
+def sample_image(height: int = 540, width: int = 960, seed: int = 0) -> np.ndarray:
+    """Synthetic calibration frame (the reference bundled a sample.png,
+    absent from its snapshot — test_gpus.py:99)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(yy / 17.0) * np.cos(xx / 23.0),
+            128 + 90 * np.cos(yy / 11.0 + xx / 31.0),
+            (xx * 255.0 / width),
+        ],
+        axis=-1,
+    )
+    img += rng.normal(0, 8, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def run_calibration(
+    chips: Optional[str] = None,
+    scale: int = 2,
+    runs: int = 10,
+    batch_depths: Sequence[int] = (1, 2, 4, 8),
+    height: int = 540,
+    width: int = 960,
+    model_path: Optional[str] = None,
+    synthetic_models: bool = False,
+    precision: str = "bf16",
+) -> List[CalibrationPoint]:
+    """Time the SR step at each batch depth; returns measured points."""
+    import jax.numpy as jnp
+
+    for line in describe_devices():
+        log.info(line)
+
+    chip_ids, multiplier = parse_chips(chips)
+    log.info("chips %s (batch multiplier %d)", chip_ids, multiplier)
+
+    dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+    engine = ChainEngine.build(
+        ChainSpec.parse(None), scale, model_path=model_path,
+        compute_dtype=dtype, synthetic=synthetic_models,
+    )
+    img = sample_image(height, width)
+
+    points: List[CalibrationPoint] = []
+    for depth in batch_depths:
+        n = depth * multiplier
+        batch = np.broadcast_to(img, (n, *img.shape)).copy()
+        engine.process(batch)  # compile
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            engine.process(batch)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        pt = CalibrationPoint(n, med, n / med)
+        points.append(pt)
+        log.info(
+            "frames_per_step=%d: %.4f s/step, %.2f frames/sec",
+            pt.frames_per_step, pt.seconds_per_step, pt.frames_per_second,
+        )
+    best = max(points, key=lambda p: p.frames_per_second)
+    log.info(
+        "best: --frames_per_step %d (%.2f frames/sec at %dx%d, scale %dx)",
+        best.frames_per_step, best.frames_per_second, width, height, scale,
+    )
+    return points
