@@ -1,0 +1,143 @@
+"""Tests for the native C++ pipe transport (native/pipeio.cpp via ctypes).
+
+Uses raw OS pipes so no media binaries are needed; validates framing,
+ordering, EOF, backpressure, and writer flush semantics.
+"""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from upscale_video_tpu.native.pipeio import (
+    NativePipeReader,
+    NativePipeWriter,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="no C++ compiler for native pipeio"
+)
+
+FRAME = 64 * 48 * 3
+
+
+def test_reader_frames_in_order():
+    r_fd, w_fd = os.pipe()
+    frames = [np.full(FRAME, i, np.uint8) for i in range(10)]
+
+    def feeder():
+        with os.fdopen(w_fd, "wb") as f:
+            for fr in frames:
+                f.write(fr.tobytes())
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    got = []
+    with NativePipeReader(r_fd, FRAME, n_buffers=3) as reader:
+        while True:
+            f = reader.read()
+            if f is None:
+                break
+            got.append(f)
+    t.join()
+    os.close(r_fd)
+    assert len(got) == 10
+    for i, f in enumerate(got):
+        assert f.shape == (FRAME,)
+        assert (f == i).all()
+
+
+def test_reader_eof_mid_stream():
+    r_fd, w_fd = os.pipe()
+
+    def feeder():
+        with os.fdopen(w_fd, "wb") as f:
+            f.write(np.full(FRAME, 7, np.uint8).tobytes())
+            f.write(b"\x01" * (FRAME // 2))  # truncated frame then EOF
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    with NativePipeReader(r_fd, FRAME, n_buffers=2) as reader:
+        first = reader.read()
+        assert first is not None and (first == 7).all()
+        with pytest.raises(IOError):
+            while True:
+                if reader.read() is None:
+                    raise AssertionError("EOF instead of error on truncation")
+    t.join()
+    os.close(r_fd)
+
+
+def test_writer_roundtrip():
+    r_fd, w_fd = os.pipe()
+    frames = [np.full(FRAME, i * 3, np.uint8) for i in range(8)]
+    received = []
+
+    def drain():
+        with os.fdopen(r_fd, "rb") as f:
+            while True:
+                buf = f.read(FRAME)
+                if not buf:
+                    break
+                received.append(np.frombuffer(buf, np.uint8))
+
+    t = threading.Thread(target=drain)
+    t.start()
+    writer = NativePipeWriter(w_fd, FRAME, n_buffers=3)
+    for fr in frames:
+        writer.write(fr)
+    writer.flush()
+    writer.close()
+    os.close(w_fd)
+    t.join()
+    assert len(received) == 8
+    for want, got in zip(frames, received):
+        np.testing.assert_array_equal(want, got)
+
+
+def test_writer_backpressure():
+    """Ring smaller than the burst: submits must block, not drop."""
+    r_fd, w_fd = os.pipe()
+    n = 50
+    received = []
+    done = threading.Event()
+
+    def drain():
+        with os.fdopen(r_fd, "rb") as f:
+            while len(received) < n:
+                buf = f.read(FRAME)
+                if not buf:
+                    break
+                received.append(buf[0])
+        done.set()
+
+    t = threading.Thread(target=drain)
+    t.start()
+    writer = NativePipeWriter(w_fd, FRAME, n_buffers=2)
+    for i in range(n):
+        writer.write(np.full(FRAME, i % 251, np.uint8))
+    writer.close()
+    os.close(w_fd)
+    t.join()
+    assert received == [i % 251 for i in range(n)]
+
+
+def test_writer_wrong_size():
+    r_fd, w_fd = os.pipe()
+    writer = NativePipeWriter(w_fd, FRAME, n_buffers=2)
+    with pytest.raises(ValueError, match="bytes"):
+        writer.write(np.zeros(10, np.uint8))
+    writer.close()
+    os.close(w_fd)
+    os.close(r_fd)
+
+
+def test_reader_close_while_blocked():
+    """Closing a reader waiting on a silent pipe must not hang."""
+    r_fd, w_fd = os.pipe()
+    reader = NativePipeReader(r_fd, FRAME, n_buffers=2)
+    reader.close()  # worker is poll-looping; close must join promptly
+    os.close(w_fd)
+    os.close(r_fd)

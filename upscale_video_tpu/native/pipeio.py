@@ -1,0 +1,165 @@
+"""ctypes bindings for the native pipe transport (native/pipeio.cpp).
+
+Builds the shared library on first use with g++ (no pybind11 in this
+toolchain); callers fall back to the pure-Python pipe path in
+:mod:`upscale_video_tpu.video.io` when no compiler is available — the
+native path changes throughput, never semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import shutil
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_NAME = "libpipeio.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build_library() -> Optional[str]:
+    src = os.path.join(_NATIVE_DIR, "pipeio.cpp")
+    out = os.path.join(_NATIVE_DIR, _LIB_NAME)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    gxx = shutil.which("g++") or shutil.which("c++")
+    if not gxx:
+        return None
+    build_dir = _NATIVE_DIR
+    if not os.access(build_dir, os.W_OK):
+        build_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "upscale_video_tpu"
+        )
+        os.makedirs(build_dir, exist_ok=True)
+        out = os.path.join(build_dir, _LIB_NAME)
+        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+            return out
+    cmd = [gxx, "-O2", "-std=c++17", "-fPIC", "-pthread", "-Wall",
+           "-shared", "-o", out, src]
+    result = subprocess.run(cmd, capture_output=True, text=True)
+    if result.returncode != 0:
+        log.warning("native pipeio build failed: %s", result.stderr[-400:])
+        return None
+    return out
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _build_library()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        lib.pipeio_reader_open.restype = ctypes.c_void_p
+        lib.pipeio_reader_open.argtypes = [ctypes.c_int, ctypes.c_size_t, ctypes.c_int]
+        lib.pipeio_reader_acquire.restype = ctypes.c_long
+        lib.pipeio_reader_acquire.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte))
+        ]
+        lib.pipeio_reader_release.argtypes = [ctypes.c_void_p]
+        lib.pipeio_writer_open.restype = ctypes.c_void_p
+        lib.pipeio_writer_open.argtypes = [ctypes.c_int, ctypes.c_size_t, ctypes.c_int]
+        lib.pipeio_writer_submit.restype = ctypes.c_int
+        lib.pipeio_writer_submit.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)
+        ]
+        lib.pipeio_writer_flush.restype = ctypes.c_int
+        lib.pipeio_writer_flush.argtypes = [ctypes.c_void_p]
+        lib.pipeio_has_error.restype = ctypes.c_int
+        lib.pipeio_has_error.argtypes = [ctypes.c_void_p]
+        lib.pipeio_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+class NativePipeReader:
+    """Reads fixed-size frames from a file descriptor via the C++ ring."""
+
+    def __init__(self, fd: int, frame_bytes: int, n_buffers: int = 4):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native pipeio unavailable (no compiler)")
+        self._lib = lib
+        self.frame_bytes = frame_bytes
+        self._h = lib.pipeio_reader_open(fd, frame_bytes, n_buffers)
+        if not self._h:
+            raise RuntimeError("pipeio_reader_open failed")
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next frame as a COPY (uint8 flat array), or None at EOF."""
+        ptr = ctypes.POINTER(ctypes.c_ubyte)()
+        slot = self._lib.pipeio_reader_acquire(self._h, ctypes.byref(ptr))
+        if slot == -1:
+            return None
+        if slot == -2:
+            raise IOError("native pipe reader error")
+        buf = np.ctypeslib.as_array(ptr, shape=(self.frame_bytes,)).copy()
+        self._lib.pipeio_reader_release(self._h)
+        return buf
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pipeio_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NativePipeWriter:
+    """Writes fixed-size frames to a file descriptor via the C++ ring."""
+
+    def __init__(self, fd: int, frame_bytes: int, n_buffers: int = 4):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native pipeio unavailable (no compiler)")
+        self._lib = lib
+        self.frame_bytes = frame_bytes
+        self._h = lib.pipeio_writer_open(fd, frame_bytes, n_buffers)
+        if not self._h:
+            raise RuntimeError("pipeio_writer_open failed")
+
+    def write(self, frame: np.ndarray) -> None:
+        data = np.ascontiguousarray(frame, dtype=np.uint8)
+        if data.nbytes != self.frame_bytes:
+            raise ValueError(f"frame is {data.nbytes} bytes, expected {self.frame_bytes}")
+        ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        if self._lib.pipeio_writer_submit(self._h, ptr) != 0:
+            raise IOError("native pipe writer error")
+
+    def flush(self) -> None:
+        if self._lib.pipeio_writer_flush(self._h) != 0:
+            raise IOError("native pipe writer error on flush")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.pipeio_writer_flush(self._h)
+            self._lib.pipeio_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -205,9 +205,12 @@ def _run_stream_plane(
 ) -> int:
     """Streaming loop: sequential decode -> fused device program ->
     fragment encoders, with skip-if-exists resume per fragment."""
+    from upscale_video_tpu.utils.profiling import StageTimer
+
     src_h, src_w = backend.source_geometry(info, crop)
     out_h, out_w = src_h * engine.scale, src_w * engine.scale
     processed = 0
+    timer = StageTimer()
 
     source = backend.open_source(input_file, info, crop)
     try:
@@ -225,22 +228,30 @@ def _run_stream_plane(
             wrote = 0
             try:
                 for f in range(start, end + 1):
-                    frame = source.read()
+                    with timer.stage("decode", 1):
+                        frame = source.read()
                     if frame is None:
                         log.warning("stream ended early at frame %d", f)
                         break
-                    for out in stepper.feed(frame):
+                    with timer.stage("infer"):
+                        outs = stepper.feed(frame)
+                    with timer.stage("encode", len(outs)):
+                        for out in outs:
+                            sink.write(out)
+                            wrote += 1
+                with timer.stage("infer"):
+                    outs = stepper.flush()
+                with timer.stage("encode", len(outs)):
+                    for out in outs:
                         sink.write(out)
                         wrote += 1
-                for out in stepper.flush():
-                    sink.write(out)
-                    wrote += 1
             finally:
                 sink.close()
             processed += wrote
             log.info("batch %d: %d frames upscaled+encoded", batch, wrote)
     finally:
         source.close()
+    timer.log_summary()
     return processed
 
 

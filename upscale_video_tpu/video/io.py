@@ -264,7 +264,7 @@ class FfmpegPipeSource(FrameSource):
     def __init__(self, ffmpeg: str, input_file: str, width: int, height: int,
                  frame_rate: Fraction, crop_filter: str = "",
                  num_frames: Optional[int] = None, start_frame: int = 1,
-                 extra_args: Optional[List[str]] = None):
+                 extra_args: Optional[List[str]] = None, native: bool = True):
         self.width, self.height = width, height
         self.frame_rate = Fraction(frame_rate)
         self.num_frames = num_frames
@@ -286,8 +286,25 @@ class FfmpegPipeSource(FrameSource):
             cmds, stdout=subprocess.PIPE, stderr=subprocess.PIPE
         )
         self._frame_bytes = width * height * 3
+        self._native = None
+        if native:
+            # C++ double-buffered ring keeps the decode pipe saturated while
+            # Python is busy dispatching device work (native/pipeio.cpp)
+            from upscale_video_tpu.native.pipeio import (
+                NativePipeReader, native_available,
+            )
+
+            if native_available():
+                self._native = NativePipeReader(
+                    self._proc.stdout.fileno(), self._frame_bytes
+                )
 
     def read(self) -> Optional[np.ndarray]:
+        if self._native is not None:
+            flat = self._native.read()
+            if flat is None:
+                return None
+            return flat.reshape(self.height, self.width, 3)
         buf = self._proc.stdout.read(self._frame_bytes)
         if not buf:
             return None
@@ -296,6 +313,9 @@ class FfmpegPipeSource(FrameSource):
         return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
 
     def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         if self._proc.stdout:
             self._proc.stdout.close()
         self._proc.terminate()
@@ -313,7 +333,7 @@ class FfmpegPipeSink(FrameSink):
     def __init__(self, ffmpeg: str, output_file: str, width: int, height: int,
                  frame_rate: Fraction, encoder: str = "libx264",
                  pix_fmt: str = "yuv420p", global_quality: Optional[int] = 20,
-                 extra_args: Optional[List[str]] = None):
+                 extra_args: Optional[List[str]] = None, native: bool = True):
         self.width, self.height = width, height
         fr = Fraction(frame_rate)
         cmds = [ffmpeg, "-hide_banner", "-loglevel", "error", "-y",
@@ -329,13 +349,29 @@ class FfmpegPipeSink(FrameSink):
         self._proc = subprocess.Popen(
             cmds, stdin=subprocess.PIPE, stderr=subprocess.PIPE
         )
+        self._native = None
+        if native:
+            from upscale_video_tpu.native.pipeio import (
+                NativePipeWriter, native_available,
+            )
+
+            if native_available():
+                self._native = NativePipeWriter(
+                    self._proc.stdin.fileno(), width * height * 3
+                )
 
     def write(self, frame: np.ndarray) -> None:
         if frame.shape != (self.height, self.width, 3):
             raise ValueError(f"frame shape {frame.shape} != sink geometry")
+        if self._native is not None:
+            self._native.write(frame)
+            return
         self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
 
     def close(self) -> None:
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         self._proc.stdin.close()
         ret = self._proc.wait()
         err = self._proc.stderr.read().decode(errors="replace")
