@@ -205,6 +205,7 @@ def _run_stream_plane(
 ) -> int:
     """Streaming loop: sequential decode -> fused device program ->
     fragment encoders, with skip-if-exists resume per fragment."""
+    from upscale_video_tpu.parallel.executor import AsyncSink, PrefetchSource
     from upscale_video_tpu.utils.profiling import StageTimer
 
     src_h, src_w = backend.source_geometry(info, crop)
@@ -212,7 +213,10 @@ def _run_stream_plane(
     processed = 0
     timer = StageTimer()
 
-    source = backend.open_source(input_file, info, crop)
+    source = PrefetchSource(
+        backend.open_source(input_file, info, crop),
+        depth=2 * frames_per_step,
+    )
     try:
         for batch, (start, end) in batches.items():
             frag = os.path.join(workdir, backend.fragment_name(batch))
@@ -223,7 +227,10 @@ def _run_stream_plane(
                         break
                 log.info("batch %d exists, skipped", batch)
                 continue
-            sink = backend.open_fragment_sink(batch, out_w, out_h, info, workdir)
+            sink = AsyncSink(
+                backend.open_fragment_sink(batch, out_w, out_h, info, workdir),
+                depth=2 * frames_per_step,
+            )
             stepper = BatchedStepper(engine.step, frames_per_step)
             wrote = 0
             try:
