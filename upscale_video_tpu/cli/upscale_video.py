@@ -56,11 +56,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="stream = zero-spill pipes (default); png = reference-layout "
              "per-frame files (needed before test-images/fix-frames).",
     )
+    p.add_argument(
+        "--trace_dir",
+        help="Capture a jax.profiler device trace of the run into this "
+             "directory (view with TensorBoard/Perfetto).",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from upscale_video_tpu.utils.profiling import trace
+
+    with trace(args.trace_dir):
+        _run(args)
+    return 0
+
+
+def _run(args) -> None:
     process_file(
         input_file=args.input_file,
         output_file=args.output_file,
@@ -85,7 +98,6 @@ def main(argv=None) -> int:
         data_plane=args.data_plane,
         synthetic_models=args.synthetic_models,
     )
-    return 0
 
 
 if __name__ == "__main__":
