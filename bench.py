@@ -8,11 +8,12 @@ Measurement protocol: K model applications CHAINED by data dependency
 inside one jitted ``lax.fori_loop``, synchronized by fetching a scalar
 reduction of the final result to the host.  This is required because on
 the remote ("axon") TPU platform ``block_until_ready`` can return before
-execution finishes, which inflates naive timings by >10x; the scalar
-fetch round-trip is measured separately and subtracted.  Each chained
-iteration runs the full fused model (17 conv3x3(64)+PReLU + conv->12ch +
-pixel-shuffle + nearest-skip add, ~2.5 TFLOP/frame at 1080p) and then a
-dependent downsample back to the input shape.
+execution finishes, which inflates naive timings by >10x.  The host
+round-trip cost is eliminated by differencing two chain lengths:
+``per_step = (t(K2) - t(K1)) / (K2 - K1)``.  Each chained iteration runs
+the full fused model (17 conv3x3(64)+PReLU + conv->12ch + pixel-shuffle +
+nearest-skip add, ~2.5 TFLOP/frame at 1080p) and then a dependent
+downsample back to the input shape.
 """
 
 import argparse
@@ -26,7 +27,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
-    p.add_argument("--chain", type=int, default=30, help="chained model steps")
+    p.add_argument("--chain", type=int, default=10, help="short chain length K1")
+    p.add_argument("--chain2", type=int, default=60, help="long chain length K2")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--verbose", action="store_true")
@@ -51,34 +53,29 @@ def main() -> int:
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 1, (1, args.height, args.width, 3)).astype(np.float32)
 
-    # host round-trip cost (subtracted from chained timings)
-    @jax.jit
-    def trivial(v):
-        return jnp.sum(v[:, :8, :8, :])
+    def make_chained(K):
+        @jax.jit
+        def chained(v):
+            def body(i, u):
+                y = fwd(params, u)
+                return y[:, ::2, ::2, :]  # data-dependent next input
 
-    float(trivial(x))  # warm + absorb any first-transfer stall
-    rtts = [_timed(lambda: float(trivial(x))) for _ in range(5)]
-    rtt = statistics.median(rtts)
+            return jnp.sum(jax.lax.fori_loop(0, K, body, v))
 
-    K = args.chain
+        return chained
 
-    @jax.jit
-    def chained(v):
-        def body(i, u):
-            y = fwd(params, u)
-            return y[:, ::2, ::2, :]  # data-dependent next input
-
-        return jnp.sum(jax.lax.fori_loop(0, K, body, v))
-
-    float(chained(x))  # compile + warm
-    times = [_timed(lambda: float(chained(x))) for _ in range(args.reps)]
-    per_frame = (statistics.median(times) - rtt) / K
+    k1, k2 = args.chain, args.chain2
+    c1, c2 = make_chained(k1), make_chained(k2)
+    float(c1(x))  # compile + warm + absorb any first-transfer stall
+    float(c2(x))
+    t1 = statistics.median([_timed(lambda: float(c1(x))) for _ in range(args.reps)])
+    t2 = statistics.median([_timed(lambda: float(c2(x))) for _ in range(args.reps)])
+    per_frame = (t2 - t1) / (k2 - k1)
     fps = 1.0 / per_frame
 
     if args.verbose:
         print(
-            f"rtt {rtt*1000:.0f} ms; chained K={K} median "
-            f"{statistics.median(times)*1000:.0f} ms -> "
+            f"t(K={k1})={t1*1000:.0f} ms, t(K={k2})={t2*1000:.0f} ms -> "
             f"{per_frame*1000:.2f} ms/frame "
             f"({args.height}x{args.width} -> {args.height*2}x{args.width*2}, "
             f"{args.precision}); ~{2.48/per_frame/1000:.0f} TFLOP/s effective",
