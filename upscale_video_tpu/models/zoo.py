@@ -89,6 +89,26 @@ class Model:
         put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
         return jax.tree_util.tree_map(put, self.params)
 
+    def save(self, model_dir: str, stem: Optional[str] = None) -> str:
+        """Write this model (e.g. after fine-tuning) back to ncnn
+        ``.param``/``.bin`` files loadable by both this framework and the
+        reference's ncnn engine (fp16 weight tag, the zoo's own storage
+        format).  Returns the file stem path."""
+        from upscale_video_tpu.models.bin_loader import emit_bin
+        from upscale_video_tpu.models.param_parser import emit_param
+
+        os.makedirs(model_dir, exist_ok=True)
+        stem = stem or self.name
+        path = os.path.join(model_dir, stem)
+        host_params = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, dtype=np.float32), self.params
+        )
+        with open(path + ".param", "w", encoding="utf-8") as f:
+            f.write(emit_param(self.graph))
+        with open(path + ".bin", "wb") as f:
+            f.write(emit_bin(self.graph, host_params))
+        return path
+
 
 def load_model(
     model_file: str,

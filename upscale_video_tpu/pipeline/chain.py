@@ -146,7 +146,11 @@ class ChainEngine:
 
     @property
     def step(self) -> Callable:
-        """The fused jitted program: uint8 (N,H,W,3) -> uint8 (N,sH,sW,3)."""
+        """The fused jitted program: uint8 (N,H,W,3) -> uint8 (N,sH,sW,3).
+
+        When :meth:`use_chips` selected more than one chip, inputs/outputs
+        are sharded batch-wise over a ``dp`` mesh (XLA partitions every op
+        along N with no collectives — frames are independent)."""
         if self._step is None:
             order = self.channel_order
 
@@ -155,8 +159,31 @@ class ChainEngine:
                 y = self._model_stack(x)
                 return model_to_frames(y, order)
 
-            self._step = jax.jit(_step)
+            if getattr(self, "_mesh", None) is not None:
+                from upscale_video_tpu.parallel.data import data_parallel_fn
+
+                self._step = data_parallel_fn(_step, self._mesh)
+            else:
+                self._step = jax.jit(_step)
         return self._step
+
+    def use_chips(self, chips: Optional[str]) -> int:
+        """Apply a ``-g`` chip multiset: returns the batch multiplier.
+
+        Multiple distinct chips -> a ``dp`` mesh over them (frame-level
+        data parallelism, SURVEY.md §2.4); repetition of a chip id deepens
+        the per-chip batch instead of adding workers (README:39-63 intent).
+        """
+        from upscale_video_tpu.parallel.mesh import (
+            make_mesh, parse_chips, select_devices,
+        )
+
+        chip_ids, multiplier = parse_chips(chips)
+        if len(chip_ids) > 1:
+            devices = select_devices(chip_ids)
+            self._mesh = make_mesh({"dp": len(devices)}, devices=devices)
+            self._step = None  # rebuild with sharding
+        return multiplier
 
     def process(self, frames_u8: np.ndarray) -> np.ndarray:
         """Run one host batch through the fused program."""

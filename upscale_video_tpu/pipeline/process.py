@@ -152,6 +152,13 @@ def process_file(
         spec, scale, model_path=model_path, compute_dtype=compute_dtype,
         tile=tile_size, halo=halo, synthetic=synthetic_models,
     )
+    if chips:
+        multiplier = engine.use_chips(chips)
+        frames_per_step = max(frames_per_step * multiplier, frames_per_step)
+        n_chips = len(getattr(engine, "_mesh").devices.flat) if getattr(engine, "_mesh", None) is not None else 1
+        if n_chips > 1 and frames_per_step % n_chips:
+            frames_per_step = ((frames_per_step // n_chips) + 1) * n_chips
+        log.info("chips %s -> frames_per_step %d", chips, frames_per_step)
     log.info("model chain: %s", engine.describe())
 
     t0 = time.time()
