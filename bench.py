@@ -31,6 +31,9 @@ def main() -> int:
     p.add_argument("--chain2", type=int, default=60, help="long chain length K2")
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--conv_impl", choices=["xla", "pallas"], default="xla",
+                   help="conv backend (pallas: fused kernels, 2.2x faster per-layer; "
+                        "model-level parity pending boundary-glue elimination)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -47,6 +50,7 @@ def main() -> int:
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = make_synthetic_model(scale=2, num_conv=16, num_feat=64,
                                  compute_dtype=dtype)
+    model.pallas_conv = args.conv_impl == "pallas" 
     params = model.params
     fwd = model.forward
 

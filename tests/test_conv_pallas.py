@@ -1,0 +1,94 @@
+"""Pallas fused conv3x3 kernel vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upscale_video_tpu.models.bin_loader import synthesize_weights
+from upscale_video_tpu.models.executor import build_forward, _plan_pallas_fusion
+from upscale_video_tpu.models.zoo import make_srvgg_graph
+from upscale_video_tpu.ops.conv_pallas import (
+    ACT_LEAKY,
+    ACT_NONE,
+    ACT_PRELU,
+    ACT_RELU,
+    conv3x3_fused,
+)
+
+
+def _xla_conv(x, w, b=None, precision=jax.lax.Precision.HIGHEST):
+    y = jax.lax.conv_general_dilated(
+        x[None], w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )[0]
+    return y if b is None else y + b
+
+
+@pytest.mark.parametrize("act", [ACT_NONE, ACT_PRELU, ACT_LEAKY, ACT_RELU])
+def test_matches_xla(rng, act):
+    H, W, C = 20, 40, 8
+    x = jnp.asarray(rng.uniform(0, 1, (H, W, C)).astype(np.float32),
+                    dtype=jnp.bfloat16).astype(jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, C, C)).astype(np.float32),
+                    dtype=jnp.bfloat16).astype(jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (C,)).astype(np.float32))
+    if act == ACT_LEAKY:
+        s = jnp.asarray([0.2], jnp.float32)
+    else:
+        s = jnp.asarray(rng.uniform(0.1, 0.3, (C,)).astype(np.float32))
+    got = np.asarray(conv3x3_fused(
+        x, w, b, s, act=act, tile_h=8, tile_w=16, interpret=True,
+        out_dtype=jnp.float32,
+    ))
+    ref = _xla_conv(x, w, b)
+    if act == ACT_PRELU:
+        ref = jnp.where(ref >= 0, ref, ref * s)
+    elif act == ACT_LEAKY:
+        ref = jnp.where(ref >= 0, ref, ref * 0.2)
+    elif act == ACT_RELU:
+        ref = jnp.maximum(ref, 0)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+
+
+def test_ragged_geometry(rng):
+    """Frame not a multiple of the tile grid pads with zeros and crops —
+    identical to SAME conv semantics at the borders."""
+    H, W, C = 19, 37, 8
+    x = jnp.asarray(rng.uniform(0, 1, (H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, C, 4)).astype(np.float32))
+    got = np.asarray(conv3x3_fused(
+        x, w, act=ACT_NONE, tile_h=8, tile_w=16, interpret=True,
+        out_dtype=jnp.float32,
+    ))
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    wb = w.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = np.asarray(_xla_conv(xb, wb))
+    assert got.shape == (19, 37, 4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestFusionPlan:
+    def test_compact_plan(self):
+        g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
+        plans, absorbed = _plan_pallas_fusion(g)
+        # body convs (64ch) qualify with their PReLUs absorbed; the
+        # skinny 3->64 input conv and 64->12 up conv stay on XLA
+        assert set(plans) == {"conv_1", "conv_2"}
+        assert absorbed == {"prelu_1", "prelu_2"}
+        assert plans["conv_1"]["prelu"] == "prelu_1"
+
+    def test_skinny_channels_not_fused(self):
+        g = make_srvgg_graph(scale=2, num_conv=2, num_feat=8)
+        plans, absorbed = _plan_pallas_fusion(g)
+        assert plans == {} and absorbed == set()
+
+    def test_forward_matches_xla_path(self, rng):
+        g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
+        params = synthesize_weights(g, seed=3)
+        x = rng.uniform(0, 1, (1, 16, 24, 3)).astype(np.float32)
+        f_xla = build_forward(g, compute_dtype=jnp.bfloat16)
+        f_pal = build_forward(g, compute_dtype=jnp.bfloat16, pallas_conv=True)
+        y1 = np.asarray(f_xla(params, x)).astype(np.float32)
+        y2 = np.asarray(f_pal(params, x)).astype(np.float32)
+        np.testing.assert_allclose(y1, y2, atol=2e-2)  # bf16 reassociation

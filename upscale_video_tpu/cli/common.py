@@ -49,6 +49,11 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
         "--frames_per_step", type=int, default=4,
         help="Frames per device step (on-chip batch).",
     )
+    p.add_argument(
+        "--conv_impl", choices=["xla", "pallas"], default="xla",
+        help="Convolution backend: xla (default) or the fused Pallas "
+             "conv3x3 kernels (faster on v5e for the Compact models).",
+    )
 
 
 def add_io_args(p: argparse.ArgumentParser, ffmpeg_required: bool = False) -> None:

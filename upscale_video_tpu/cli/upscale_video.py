@@ -97,6 +97,7 @@ def _run(args) -> None:
         global_quality=args.global_quality,
         data_plane=args.data_plane,
         synthetic_models=args.synthetic_models,
+        conv_impl=args.conv_impl,
     )
 
 

@@ -268,10 +268,62 @@ OP_REGISTRY: Dict[str, Callable] = {
 }
 
 
+def _pallas_fusable(layer: NcnnLayer) -> bool:
+    """3x3 / stride 1 / dilation 1 / pad 1 convs with channel counts that
+    map well onto MXU lanes qualify for the Pallas fused kernel
+    (ops/conv_pallas.py).  Skinny-channel convs (the 3-channel input conv,
+    the 12-channel pre-shuffle conv) are <1% of model FLOPs and their
+    lane-padding makes the Pallas path a loss — they stay on XLA."""
+    from upscale_video_tpu.models.bin_loader import _infer_conv_in_channels
+
+    kw = layer.attr_i(1)
+    kh = layer.attr_i(11, kw)
+    sw = layer.attr_i(3, 1)
+    sh = layer.attr_i(13, sw)
+    dw = layer.attr_i(2, 1)
+    dh = layer.attr_i(12, dw)
+    pads = {layer.attr_i(4, 0), layer.attr_i(14, layer.attr_i(4, 0)),
+            layer.attr_i(15, layer.attr_i(4, 0)), layer.attr_i(16, layer.attr_i(4, 0))}
+    cout = layer.attr_i(0)
+    cin = _infer_conv_in_channels(layer) or 0
+    return (kw, kh) == (3, 3) and (sw, sh) == (1, 1) and (dw, dh) == (1, 1) \
+        and pads == {1} and layer.attr_i(9, 0) in (0, 1, 2) \
+        and cin >= 32 and cout >= 32
+
+
+def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
+    """Map conv layer name -> fused activation plan, and the set of PReLU
+    layer names absorbed into their producing conv."""
+    consumers: Dict[str, List[int]] = {}
+    for idx, layer in enumerate(graph.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(idx)
+
+    plans: Dict[str, Dict[str, Any]] = {}
+    absorbed: set = set()
+    for idx, layer in enumerate(graph.layers):
+        if layer.type != "Convolution" or not _pallas_fusable(layer):
+            continue
+        plan = {"act": layer.attr_i(9, 0), "prelu": None, "out": layer.outputs[0]}
+        cons = consumers.get(layer.outputs[0], [])
+        if (
+            plan["act"] == 0
+            and len(cons) == 1
+            and graph.layers[cons[0]].type == "PReLU"
+        ):
+            prelu = graph.layers[cons[0]]
+            plan["prelu"] = prelu.name
+            plan["out"] = prelu.outputs[0]
+            absorbed.add(prelu.name)
+        plans[layer.name] = plan
+    return plans, absorbed
+
+
 def build_forward(
     graph: NcnnGraph,
     compute_dtype: Any = jnp.bfloat16,
     output_dtype: Any = jnp.float32,
+    pallas_conv: bool = False,
 ) -> Callable:
     """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
 
@@ -293,6 +345,11 @@ def build_forward(
     if len(output_blobs) != 1:
         raise ValueError(f"expected exactly one output blob, got {output_blobs}")
 
+    fusion_plans: Dict[str, Any] = {}
+    absorbed: set = set()
+    if pallas_conv:
+        fusion_plans, absorbed = _plan_pallas_fusion(graph)
+
     # last consumer index per blob, so traced intermediates are dropped as
     # soon as possible (keeps the Python-side blob dict small for the
     # 2127-blob Valar graph; XLA liveness does the on-device equivalent).
@@ -301,6 +358,28 @@ def build_forward(
         for b in layer.inputs:
             last_use[b] = i
 
+    def _run_pallas_conv(layer, x, params):
+        from upscale_video_tpu.ops.conv_pallas import (
+            ACT_LEAKY, ACT_NONE, ACT_PRELU, ACT_RELU, conv3x3_fused_batch,
+        )
+
+        plan = fusion_plans[layer.name]
+        p = params.get(layer.name, {})
+        bias = p.get("bias")
+        slope = None
+        act = ACT_NONE
+        if plan["prelu"] is not None:
+            slope = params[plan["prelu"]]["slope"]
+            act = ACT_PRELU
+        elif plan["act"] == 1:
+            act = ACT_RELU
+        elif plan["act"] == 2:
+            slope = jnp.asarray(layer.attr(10, [0.0]), jnp.float32)
+            act = ACT_LEAKY
+        return conv3x3_fused_batch(
+            x, p["weight"], bias, slope, act=act, out_dtype=compute_dtype,
+        )
+
     def forward(params: Dict[str, Dict[str, jnp.ndarray]], x: jnp.ndarray) -> jnp.ndarray:
         squeeze = x.ndim == 3
         if squeeze:
@@ -308,6 +387,18 @@ def build_forward(
         blobs: Dict[str, jnp.ndarray] = {input_blobs[0]: x.astype(compute_dtype)}
         for i, layer in enumerate(graph.layers):
             if layer.type == "Input":
+                continue
+            if layer.name in absorbed:
+                continue  # PReLU fused into the preceding Pallas conv
+            if layer.name in fusion_plans:
+                plan = fusion_plans[layer.name]
+                blobs[plan["out"]] = _run_pallas_conv(
+                    layer, blobs[layer.inputs[0]], params
+                )
+                b_in = layer.inputs[0]
+                if last_use.get(b_in, -1) <= i + (1 if plan["prelu"] else 0) \
+                        and b_in in blobs and b_in != plan["out"]:
+                    del blobs[b_in]
                 continue
             ins = [blobs[b] for b in layer.inputs]
             p = params.get(layer.name, {})

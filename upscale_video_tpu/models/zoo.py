@@ -62,13 +62,18 @@ class Model:
     graph: NcnnGraph
     params: Dict[str, Dict[str, Any]]
     compute_dtype: Any = jnp.bfloat16
+    pallas_conv: bool = False  # fused Pallas conv3x3 kernels (ops/conv_pallas)
     _forward: Callable = field(default=None, repr=False)
     _jitted: Callable = field(default=None, repr=False)
 
     @property
     def forward(self) -> Callable:
         if self._forward is None:
-            self._forward = build_forward(self.graph, compute_dtype=self.compute_dtype)
+            self._forward = build_forward(
+                self.graph,
+                compute_dtype=self.compute_dtype,
+                pallas_conv=self.pallas_conv,
+            )
         return self._forward
 
     @property

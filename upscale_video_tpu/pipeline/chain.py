@@ -101,11 +101,14 @@ class ChainEngine:
         tile: int = 0,
         halo: int = 16,
         synthetic: bool = False,
+        conv_impl: str = "xla",
     ) -> "ChainEngine":
         """Load the models the chain needs (reference selection logic at
         upscale_processing.py:888-920).  ``synthetic=True`` builds
-        random-weight Compact stand-ins (benchmarks, tests)."""
+        random-weight Compact stand-ins (benchmarks, tests).
+        ``conv_impl='pallas'`` uses the fused Pallas conv3x3 kernels."""
         scale = spec.effective_scale(scale)
+        pallas_conv = conv_impl == "pallas"
         anime_model = None
         sr_model = None
         if spec.anime:
@@ -114,12 +117,14 @@ class ChainEngine:
                 if synthetic
                 else load_model("anime", 1, model_path, compute_dtype)
             )
+            anime_model.pallas_conv = pallas_conv
         if scale > 1:
             if synthetic:
                 sr_model = make_synthetic_model(scale=scale, compute_dtype=compute_dtype)
             else:
                 role = "valar" if spec.real_life else "compact"
                 sr_model = load_model(role, scale, model_path, compute_dtype)
+            sr_model.pallas_conv = pallas_conv
         return cls(
             spec=spec, scale=scale, sr_model=sr_model, anime_model=anime_model,
             tile=tile, halo=halo,

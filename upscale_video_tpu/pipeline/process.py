@@ -100,6 +100,7 @@ def process_file(
     global_quality: Optional[int] = 20,
     data_plane: str = "stream",
     synthetic_models: bool = False,
+    conv_impl: str = "xla",
 ) -> Optional[PipelineResult]:
     """Upscale a video file end to end.  Returns a PipelineResult, or None
     when the resume sentinel short-circuits.
@@ -151,6 +152,7 @@ def process_file(
     engine = ChainEngine.build(
         spec, scale, model_path=model_path, compute_dtype=compute_dtype,
         tile=tile_size, halo=halo, synthetic=synthetic_models,
+        conv_impl=conv_impl,
     )
     if chips:
         multiplier = engine.use_chips(chips)

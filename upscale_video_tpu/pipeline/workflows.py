@@ -55,11 +55,12 @@ from upscale_video_tpu.video.frames import (
 log = logging.getLogger(__name__)
 
 
-def _build_engine(spec, scale, model_path, precision, tile_size, halo, synthetic):
+def _build_engine(spec, scale, model_path, precision, tile_size, halo,
+                  synthetic, conv_impl="xla"):
     dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
     return ChainEngine.build(
         spec, scale, model_path=model_path, compute_dtype=dtype,
-        tile=tile_size, halo=halo, synthetic=synthetic,
+        tile=tile_size, halo=halo, synthetic=synthetic, conv_impl=conv_impl,
     )
 
 
