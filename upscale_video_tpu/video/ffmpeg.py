@@ -154,11 +154,15 @@ def get_metadata(
 
 def get_crop_detect(
     ffmpeg: str, input_file: str, duration: float, cache_dir: str = ".",
-    samples: int = 100, runner: Runner = run_logged,
+    samples: Optional[int] = None, runner: Runner = run_logged,
 ) -> str:
     """Majority-vote crop filter over sampled timestamps, cached in
     ``crop_detect.txt`` (reference upscale_processing.py:137-181: 100
-    samples at ``(i+1) * duration/120`` for i in 10..110)."""
+    samples at ``(i+1) * duration/120`` for i in 10..110).  Sample count
+    is tunable via ``UPSCALE_TPU_CROP_SAMPLES`` (the reference's fixed 100
+    probe runs are overkill for short clips)."""
+    if samples is None:
+        samples = int(os.environ.get("UPSCALE_TPU_CROP_SAMPLES", "100"))
     cache = os.path.join(cache_dir, "crop_detect.txt")
     if os.path.exists(cache):
         with open(cache) as f:
