@@ -47,6 +47,7 @@ def main(argv=None) -> int:
         halo=args.halo,
         frames_per_step=args.frames_per_step,
         synthetic_models=args.synthetic_models,
+        conv_impl=args.conv_impl,
     )
     return 0
 

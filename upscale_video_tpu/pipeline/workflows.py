@@ -102,6 +102,7 @@ def upscale_only(
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
+    conv_impl: str = "xla",
 ) -> Optional[int]:
     """Split-machine stage 1: upscale + zip, no video encode."""
     if scale not in VALID_SCALES:
@@ -137,7 +138,7 @@ def upscale_only(
         return None
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                           synthetic_models)
+                           synthetic_models, conv_impl)
     log.info("model chain: %s", engine.describe())
 
     all_frames = range(1, frames_count + 1)
@@ -269,6 +270,7 @@ def fix_frames(
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
+    conv_impl: str = "xla",
 ) -> List[int]:
     """Repair listed frames: re-extract missing intermediates, re-run the
     chain on just those frames (reference upscale/fix_frames.py:25-277)."""
@@ -316,7 +318,7 @@ def fix_frames(
                     os.remove(p)
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                           synthetic_models)
+                           synthetic_models, conv_impl)
 
     for f in frames:  # clear stale final artifacts (ref :240-244)
         p = os.path.join(workdir, f"{f}.png")
@@ -379,6 +381,7 @@ def process_image(
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
+    conv_impl: str = "xla",
 ) -> List[str]:
     """Sampling tool: run a candidate chain on selected extracted frames,
     keeping every intermediate, and name results ``{frame}.{models}.png``
@@ -402,7 +405,7 @@ def process_image(
         )
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                           synthetic_models)
+                           synthetic_models, conv_impl)
     in_tag = _run_chain_stages(engine, output_dir, frames, frames_per_step,
                                remove=False)
 
