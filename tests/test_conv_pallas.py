@@ -72,11 +72,13 @@ class TestFusionPlan:
     def test_compact_plan(self):
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
         plans, absorbed = _plan_pallas_fusion(g)
-        # body convs (64ch) qualify with their PReLUs absorbed; the
-        # skinny 3->64 input conv and 64->12 up conv stay on XLA
-        assert set(plans) == {"conv_1", "conv_2"}
+        # body convs (64ch) + the 64->12 up conv qualify (skinny OUTPUT is
+        # fine and avoids a pathological XLA tail); the skinny 3->64
+        # input conv stays on XLA
+        assert set(plans) == {"conv_1", "conv_2", "conv_up"}
         assert absorbed == {"prelu_1", "prelu_2"}
         assert plans["conv_1"]["prelu"] == "prelu_1"
+        assert plans["conv_up"]["prelu"] is None
 
     def test_skinny_channels_not_fused(self):
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=8)

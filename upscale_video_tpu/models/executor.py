@@ -286,9 +286,14 @@ def _pallas_fusable(layer: NcnnLayer) -> bool:
             layer.attr_i(15, layer.attr_i(4, 0)), layer.attr_i(16, layer.attr_i(4, 0))}
     cout = layer.attr_i(0)
     cin = _infer_conv_in_channels(layer) or 0
+    # cin >= 32: skinny-input convs explode in lane padding (XLA handles
+    # them).  Skinny OUTPUTS are fine — and critically, routing the
+    # 64->12 pre-shuffle conv through Pallas avoids a pathological XLA
+    # layout interaction where an XLA conv consuming a custom-call output
+    # runs ~100x slow (measured 1.9 s for a 7 GFLOP conv on v5e).
     return (kw, kh) == (3, 3) and (sw, sh) == (1, 1) and (dw, dh) == (1, 1) \
         and pads == {1} and layer.attr_i(9, 0) in (0, 1, 2) \
-        and cin >= 32 and cout >= 32
+        and cin >= 32 and cout >= 8
 
 
 def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
