@@ -1,0 +1,85 @@
+"""Failure-path tests: corrupt frames, partial fragments, repair hints.
+
+The reference's failure handling was the PIL corruption scan + fix_frames
+hint (upscale_processing.py:650-672) and partial-fragment deletion; these
+tests pin the rebuilt equivalents.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_pipeline import make_test_video
+from upscale_video_tpu.pipeline import stages
+from upscale_video_tpu.pipeline.process import process_file
+from upscale_video_tpu.video.frames import frame_name
+from upscale_video_tpu.video.io import Y4MSink
+
+
+class FailingSink:
+    def __init__(self, fail_at):
+        self.n = 0
+        self.fail_at = fail_at
+
+    def write(self, frame):
+        if self.n == self.fail_at:
+            raise IOError("encoder blew up")
+        self.n += 1
+
+    def close(self):
+        pass
+
+
+class TestCorruptionScan:
+    def _store(self, tmp_path, rng, n=4):
+        d = str(tmp_path)
+        for f in range(1, n + 1):
+            from PIL import Image
+
+            Image.fromarray(
+                rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+            ).save(os.path.join(d, frame_name(f)))
+        return d
+
+    def test_repair_hint_lists_bad_frames(self, tmp_path, rng):
+        d = self._store(tmp_path, rng)
+        # corrupt frames 2 and 3 (truncate / garbage)
+        open(os.path.join(d, "2.png"), "wb").write(b"\x89PNG\r\n\x1a\n garbage")
+        open(os.path.join(d, "3.png"), "wb").write(b"")
+        sink = FailingSink(fail_at=99)  # decode fails before sink does
+        with pytest.raises(RuntimeError, match="fix-frames -b 2-3"):
+            stages.pngs_to_sink(d, 1, 4, sink)
+
+    def test_encoder_failure_without_corruption(self, tmp_path, rng):
+        d = self._store(tmp_path, rng)
+        with pytest.raises(RuntimeError, match="fragment encode failed"):
+            stages.pngs_to_sink(d, 1, 4, FailingSink(fail_at=2))
+
+
+class TestPartialFragmentCleanup:
+    def test_stream_plane_removes_partial_fragment(self, tmp_path, monkeypatch):
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=6)
+        tdir = str(tmp_path / "t")
+
+        # sabotage the Y4M sink to fail after 2 writes
+        orig_write = Y4MSink.write
+        state = {"n": 0}
+
+        def failing_write(self, frame):
+            state["n"] += 1
+            if state["n"] > 2:
+                raise IOError("disk full")
+            return orig_write(self, frame)
+
+        monkeypatch.setattr(Y4MSink, "write", failing_write)
+        with pytest.raises(IOError):
+            process_file(
+                vid, output_file=str(tmp_path / "o.y4m"), scale=2,
+                temp_dir=tdir, synthetic_models=True, precision="f32",
+                resume_processing=True,
+            )
+        workdir = os.path.join(tdir, "upscale_video")
+        # the partial fragment must NOT survive to poison a resume
+        assert not os.path.exists(os.path.join(workdir, "1.y4m"))

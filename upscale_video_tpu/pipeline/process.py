@@ -243,26 +243,33 @@ def _run_stream_plane(
             stepper = BatchedStepper(engine.step, frames_per_step)
             wrote = 0
             try:
-                for f in range(start, end + 1):
-                    with timer.stage("decode", 1):
-                        frame = source.read()
-                    if frame is None:
-                        log.warning("stream ended early at frame %d", f)
-                        break
+                try:
+                    for f in range(start, end + 1):
+                        with timer.stage("decode", 1):
+                            frame = source.read()
+                        if frame is None:
+                            log.warning("stream ended early at frame %d", f)
+                            break
+                        with timer.stage("infer"):
+                            outs = stepper.feed(frame)
+                        with timer.stage("encode", len(outs)):
+                            for out in outs:
+                                sink.write(out)
+                                wrote += 1
                     with timer.stage("infer"):
-                        outs = stepper.feed(frame)
+                        outs = stepper.flush()
                     with timer.stage("encode", len(outs)):
                         for out in outs:
                             sink.write(out)
                             wrote += 1
-                with timer.stage("infer"):
-                    outs = stepper.flush()
-                with timer.stage("encode", len(outs)):
-                    for out in outs:
-                        sink.write(out)
-                        wrote += 1
-            finally:
-                sink.close()
+                finally:
+                    sink.close()
+            except Exception:
+                # never leave a partial fragment for resume to trust
+                # (reference deletes it at upscale_processing.py:653-654)
+                if os.path.exists(frag):
+                    os.remove(frag)
+                raise
             processed += wrote
             log.info("batch %d: %d frames upscaled+encoded", batch, wrote)
     finally:
@@ -325,9 +332,14 @@ def _run_png_plane(
             batch, src_w * engine.scale, src_h * engine.scale, info, workdir,
         )
         try:
-            stages.pngs_to_sink(workdir, start, end, sink)
-        finally:
-            sink.close()
+            try:
+                stages.pngs_to_sink(workdir, start, end, sink)
+            finally:
+                sink.close()
+        except Exception:
+            if os.path.exists(frag):
+                os.remove(frag)
+            raise
         for f in range(start, end + 1):
             os.remove(os.path.join(workdir, f"{f}.png"))
         processed += end - start + 1

@@ -93,9 +93,33 @@ def extract_to_pngs(source, workdir: str, tag: str = "extract") -> int:
 def pngs_to_sink(workdir: str, start: int, end: int, sink) -> None:
     """Feed final ``{n}.png`` frames into a fragment sink (hermetic
     replacement for the image2-sequence encode at
-    upscale_processing.py:615-639)."""
-    for f in range(start, end + 1):
-        sink.write(_read_png(os.path.join(workdir, frame_name(f))))
+    upscale_processing.py:615-639).
+
+    On any decode/encode failure, scans the batch for corrupt PNGs and
+    raises with the ``fix-frames -b`` repair hint (reference behaviour at
+    upscale_processing.py:650-672).
+    """
+    try:
+        for f in range(start, end + 1):
+            sink.write(_read_png(os.path.join(workdir, frame_name(f))))
+    except Exception as e:
+        from upscale_video_tpu.video.frames import format_frame_ranges
+
+        bad = []
+        from PIL import Image
+
+        for f in range(start, end + 1):
+            path = os.path.join(workdir, frame_name(f))
+            try:
+                with Image.open(path) as im:
+                    im.verify()
+            except Exception:
+                bad.append(f)
+        hint = (
+            f"; corrupt frames detected: run fix-frames -b "
+            f"{format_frame_ranges(bad)}" if bad else ""
+        )
+        raise RuntimeError(f"fragment encode failed ({e}){hint}") from e
 
 
 def rename_stage_to_final(workdir: str, frames: Iterable[int], in_tag: str) -> None:

@@ -237,9 +237,14 @@ def merge_only(
             w, h = im.size
         sink = backend.open_fragment_sink(batch, w, h, info, workdir)
         try:
-            stages.pngs_to_sink(workdir, start, end, sink)
-        finally:
-            sink.close()
+            try:
+                stages.pngs_to_sink(workdir, start, end, sink)
+            finally:
+                sink.close()
+        except Exception:
+            if os.path.exists(frag):
+                os.remove(frag)
+            raise
         for f in range(start, end + 1):
             os.remove(os.path.join(workdir, f"{f}.png"))
         log.info("batch %d merged (frames %d..%d)", batch, start, end)
