@@ -178,3 +178,26 @@ class TestProcessFile:
     def test_default_output_name(self):
         assert default_output_name("movie.mkv", 2) == "movie.2x.mkv"
         assert default_output_name("/a/b/clip.test.mp4", 4) == "/a/b/clip.test.4x.mp4"
+
+
+class TestPngDirInput:
+    def test_png_directory_as_source(self, tmp_path):
+        """The reference-compatible {n}.png directory works as an input
+        container end-to-end (hermetic backend)."""
+        import numpy as np
+        from upscale_video_tpu.video.io import PngDirSink
+
+        d = str(tmp_path / "frames")
+        rng = np.random.default_rng(3)
+        with PngDirSink(d, tag="") as sink:
+            for _ in range(5):
+                sink.write(rng.integers(0, 256, (20, 30, 3), dtype=np.uint8))
+        out = str(tmp_path / "out.y4m")
+        res = process_file(
+            d, output_file=out, scale=2, temp_dir=str(tmp_path / "t"),
+            synthetic_models=True, precision="f32",
+        )
+        assert res.frames_processed == 5
+        with Y4MSource(out) as src:
+            frames = list(src)
+        assert frames[0].shape == (40, 60, 3)

@@ -78,3 +78,19 @@ class TestChipsDP:
         eng = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True)
         assert eng.use_chips("0,0,0") == 3  # single chip, deeper batch
         assert getattr(eng, "_mesh", None) is None
+
+
+class TestSpatialChips:
+    def test_sp_mode_matches_single(self, rng):
+        """-g with --parallel sp: frame rows sharded across chips (GSPMD
+        inserts conv halo exchange); pixels must match single-device."""
+        eng = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                                compute_dtype=jnp.float32)
+        frames = rng.integers(0, 256, (2, 32, 16, 3), dtype=np.uint8)
+        single = eng.process(frames)
+
+        eng2 = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                                 compute_dtype=jnp.float32)
+        eng2.use_chips("0,1,2,3", mode="sp")
+        sp = eng2.process(frames)
+        np.testing.assert_array_equal(single, sp)

@@ -50,6 +50,11 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
         help="Frames per device step (on-chip batch).",
     )
     p.add_argument(
+        "--parallel", choices=["dp", "sp"], default="dp",
+        help="Multi-chip mode for -g: dp = frames across chips "
+             "(throughput), sp = each frame's rows across chips (latency).",
+    )
+    p.add_argument(
         "--conv_impl", choices=["xla", "pallas"], default="xla",
         help="Convolution backend: xla (default) or the fused Pallas "
              "conv3x3 kernels (faster on v5e for the Compact models).",

@@ -98,6 +98,7 @@ def _run(args) -> None:
         data_plane=args.data_plane,
         synthetic_models=args.synthetic_models,
         conv_impl=args.conv_impl,
+        parallel_mode=args.parallel,
     )
 
 

@@ -164,20 +164,40 @@ class ChainEngine:
                 y = self._model_stack(x)
                 return model_to_frames(y, order)
 
-            if getattr(self, "_mesh", None) is not None:
+            mesh = getattr(self, "_mesh", None)
+            if mesh is not None and getattr(self, "_mesh_mode", "dp") == "sp":
+                # shard each frame's H axis over the chips; the fused
+                # program's convs get their halo exchanges from XLA (GSPMD)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                spec = NamedSharding(mesh, P(None, "sp", None, None))
+
+                jitted = jax.jit(_step, in_shardings=spec, out_shardings=spec)
+
+                def _sp_step(frames_u8):
+                    return jitted(jax.device_put(frames_u8, spec))
+
+                self._step = _sp_step
+            elif mesh is not None:
                 from upscale_video_tpu.parallel.data import data_parallel_fn
 
-                self._step = data_parallel_fn(_step, self._mesh)
+                self._step = data_parallel_fn(_step, mesh)
             else:
                 self._step = jax.jit(_step)
         return self._step
 
-    def use_chips(self, chips: Optional[str]) -> int:
+    def use_chips(self, chips: Optional[str], mode: str = "dp") -> int:
         """Apply a ``-g`` chip multiset: returns the batch multiplier.
 
-        Multiple distinct chips -> a ``dp`` mesh over them (frame-level
-        data parallelism, SURVEY.md §2.4); repetition of a chip id deepens
-        the per-chip batch instead of adding workers (README:39-63 intent).
+        ``mode="dp"`` (default): multiple distinct chips -> frame-level
+        data parallelism (the reference's primary axis, SURVEY.md §2.4);
+        repetition of a chip id deepens the per-chip batch instead of
+        adding workers (README:39-63 intent).
+
+        ``mode="sp"``: each frame's H axis is sharded across the chips
+        with ICI halo exchange (parallel/spatial.py) — lower latency per
+        frame instead of higher throughput; useful for huge frames or
+        real-time use.
         """
         from upscale_video_tpu.parallel.mesh import (
             make_mesh, parse_chips, select_devices,
@@ -186,7 +206,9 @@ class ChainEngine:
         chip_ids, multiplier = parse_chips(chips)
         if len(chip_ids) > 1:
             devices = select_devices(chip_ids)
-            self._mesh = make_mesh({"dp": len(devices)}, devices=devices)
+            axis = "sp" if mode == "sp" else "dp"
+            self._mesh = make_mesh({axis: len(devices)}, devices=devices)
+            self._mesh_mode = mode
             self._step = None  # rebuild with sharding
         return multiplier
 

@@ -101,6 +101,7 @@ def process_file(
     data_plane: str = "stream",
     synthetic_models: bool = False,
     conv_impl: str = "xla",
+    parallel_mode: str = "dp",
 ) -> Optional[PipelineResult]:
     """Upscale a video file end to end.  Returns a PipelineResult, or None
     when the resume sentinel short-circuits.
@@ -155,10 +156,11 @@ def process_file(
         conv_impl=conv_impl,
     )
     if chips:
-        multiplier = engine.use_chips(chips)
+        multiplier = engine.use_chips(chips, mode=parallel_mode)
         frames_per_step = max(frames_per_step * multiplier, frames_per_step)
-        n_chips = len(getattr(engine, "_mesh").devices.flat) if getattr(engine, "_mesh", None) is not None else 1
-        if n_chips > 1 and frames_per_step % n_chips:
+        mesh = getattr(engine, "_mesh", None)
+        n_chips = len(mesh.devices.flat) if mesh is not None else 1
+        if n_chips > 1 and parallel_mode == "dp" and frames_per_step % n_chips:
             frames_per_step = ((frames_per_step // n_chips) + 1) * n_chips
         log.info("chips %s -> frames_per_step %d", chips, frames_per_step)
     log.info("model chain: %s", engine.describe())
