@@ -151,3 +151,22 @@ class TestTraining:
         # one more step on the sharded path must keep improving
         _, _, loss3 = sharded(p1, o1, lr_imgs, hr_imgs)
         assert float(loss3) < float(loss1)
+
+
+class TestTensorParallel:
+    def test_tp_matches_single(self, rng):
+        """Channel-sharded weights (GSPMD tp) must reproduce single-device
+        outputs; XLA inserts the per-layer collectives."""
+        from upscale_video_tpu.parallel.tensor import (
+            shard_params_channelwise,
+            tensor_parallel_fn,
+        )
+
+        fwd, params, _ = _model_fwd(num_conv=2, feat=16)
+        mesh = make_mesh("tp=4")
+        x = rng.uniform(0, 1, (1, 12, 12, 3)).astype(np.float32)
+        want = np.asarray(fwd(params, x))
+        sharded = shard_params_channelwise(params, mesh)
+        tp = tensor_parallel_fn(fwd, mesh)
+        got = np.asarray(tp(sharded, x))
+        np.testing.assert_allclose(got, want, atol=1e-5)

@@ -13,6 +13,10 @@ Python-loop spatial tiling (:395-477).  The TPU mapping:
 from upscale_video_tpu.parallel.mesh import make_mesh, parse_chips
 from upscale_video_tpu.parallel.spatial import spatial_forward
 from upscale_video_tpu.parallel.data import data_parallel_fn, shard_batch
+from upscale_video_tpu.parallel.tensor import (
+    shard_params_channelwise,
+    tensor_parallel_fn,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +24,6 @@ __all__ = [
     "spatial_forward",
     "data_parallel_fn",
     "shard_batch",
+    "shard_params_channelwise",
+    "tensor_parallel_fn",
 ]

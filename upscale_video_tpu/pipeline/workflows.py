@@ -128,9 +128,14 @@ def upscale_only(
     per_batch = frames_per_batch(info["frame_rate"], frames_count, batch_size)
     batches = calc_batches(frames_count, per_batch)
 
-    need_extract = not os.path.exists(
-        os.path.join(workdir, f"{frames_count}.extract.png")
-    )
+    # re-extract only if the last frame has no artifact at ANY stage and no
+    # batch zip exists (reference skip test, upscale_processing.py:237-242 —
+    # a resume after denoise consumed the extract files must not re-extract)
+    last_zip = os.path.join(upscale_dir or workdir, f"{max(batches)}.zip")
+    need_extract = not any(
+        os.path.exists(os.path.join(workdir, f"{frames_count}.{t}.png"))
+        for t in ("extract", "denoise", "anime")
+    ) and not os.path.exists(last_zip)
     if need_extract:
         _extract_all(backend, input_file, info, crop, workdir, ffmpeg)
     if extract_only:
