@@ -143,3 +143,49 @@ def test_real_valar_graph_builds():
     y = np.asarray(fwd(params, x))
     assert y.shape == (1, 32, 32, 3)
     assert np.isfinite(y).all()
+
+
+def test_depthwise_conv(rng):
+    """ncnn ConvolutionDepthWise (group == channels) matches a per-channel
+    direct computation."""
+    from upscale_video_tpu.models.param_parser import NcnnGraph, NcnnLayer
+    from upscale_video_tpu.models.bin_loader import load_weights, _align4
+    import struct
+
+    C = 4
+    layers = [
+        NcnnLayer("Input", "input", [], ["input"]),
+        NcnnLayer("ConvolutionDepthWise", "dw", ["input"], ["output"],
+                  {0: C, 1: 3, 4: 1, 5: 1, 6: C * 9, 7: C}),
+    ]
+    g = NcnnGraph(layers, 2)
+    w = rng.normal(0, 0.2, (C, 1, 3, 3)).astype(np.float32)  # per-channel k
+    b = rng.normal(0, 0.1, (C,)).astype(np.float32)
+    data = struct.pack("<I", 0) + w.tobytes() + b.tobytes()
+    params = load_weights(g, data)
+    fwd = build_forward(g, compute_dtype=jnp.float32)
+    x = rng.uniform(0, 1, (1, 8, 8, C)).astype(np.float32)
+    got = np.asarray(fwd(params, x))
+    # per-channel reference
+    want = np.zeros_like(got)
+    xp = np.pad(x[0], ((1, 1), (1, 1), (0, 0)))
+    for c in range(C):
+        acc = np.zeros((8, 8))
+        for i in range(3):
+            for j in range(3):
+                acc += xp[i:i+8, j:j+8, c] * w[c, 0, i, j]
+        want[0, :, :, c] = acc + b[c]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_vsr_compare_cli(tmp_path, rng):
+    from fractions import Fraction
+    from upscale_video_tpu.cli.compare import main as compare_main
+    from upscale_video_tpu.video.io import Y4MSink
+
+    a = str(tmp_path / "a.y4m")
+    with Y4MSink(a, 16, 16, Fraction(24, 1)) as s:
+        for _ in range(3):
+            s.write(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    assert compare_main(["-a", a, "-b", a, "--json"]) == 0
+    assert compare_main(["-a", a, "-b", a, "--min_psnr", "30"]) == 0

@@ -102,6 +102,43 @@ def _op_convolution(layer: NcnnLayer, inputs, p, compute_dtype):
     return y.astype(compute_dtype)
 
 
+def _op_convolution_depthwise(layer: NcnnLayer, inputs, p, compute_dtype):
+    """ncnn ConvolutionDepthWise with group == channels (true depthwise;
+    common in community SRVGG/mobile variants).  Grouped variants with
+    1 < group < channels fall back to a split/concat composition."""
+    (x,) = inputs
+    group = int(p.get("group", layer.attr_i(7, 1)))
+    out_ch = layer.attr_i(0)
+    kw = layer.attr_i(1)
+    kh = layer.attr_i(11, kw)
+    sw = layer.attr_i(3, 1)
+    sh = layer.attr_i(13, sw)
+    pad_l = layer.attr_i(4, 0)
+    pad_t = layer.attr_i(14, pad_l)
+    pad_r = layer.attr_i(15, pad_l)
+    pad_b = layer.attr_i(16, pad_t)
+    cin = x.shape[-1]
+    flat = p["weight"]
+    # ncnn stores group blocks of (out/g, in/g, kh, kw)
+    w = jnp.asarray(flat, compute_dtype).reshape(
+        group, out_ch // group, cin // group, kh, kw
+    )
+    # HWIO with feature groups: (kh, kw, cin/g, out)
+    w = jnp.transpose(w, (3, 4, 2, 0, 1)).reshape(kh, kw, cin // group, out_ch)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), w,
+        window_strides=(sh, sw),
+        padding=[(pad_t, pad_b), (pad_l, pad_r)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=group,
+        preferred_element_type=jnp.float32,
+    )
+    if "bias" in p:
+        y = y + jnp.asarray(p["bias"], jnp.float32)
+    y = _apply_activation(y, layer.attr_i(9, 0), layer.attr(10, []))
+    return y.astype(compute_dtype)
+
+
 def _op_prelu(layer: NcnnLayer, inputs, p, compute_dtype):
     (x,) = inputs
     slope = p["slope"].astype(x.dtype)
@@ -254,6 +291,7 @@ OP_REGISTRY: Dict[str, Callable] = {
     "Input": _op_identity,
     "Split": _op_split,
     "Convolution": _op_convolution,
+    "ConvolutionDepthWise": _op_convolution_depthwise,
     "PReLU": _op_prelu,
     "PixelShuffle": _op_pixelshuffle,
     "Interp": _op_interp,
