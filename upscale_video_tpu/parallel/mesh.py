@@ -87,6 +87,22 @@ def make_mesh(
     return Mesh(arr, tuple(axes.keys()))
 
 
+def initialize_multihost() -> int:
+    """Initialize ``jax.distributed`` for multi-host pods when the standard
+    TPU VM environment variables are present; no-op otherwise.
+
+    The reference's multi-machine story was a shared zip directory
+    (upscale_only/merge_only); for jointly-scheduled TPU pods this enables
+    one mesh over all hosts' chips (DCN-coordinated, ICI collectives
+    within a slice).  Returns the process count.
+    """
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_count()
+
+
 def describe_devices() -> List[str]:
     """Human-readable chip inventory (test-chips calibration tool; replaces
     ncnn.get_gpu_info enumeration at test_gpus.py:47-67)."""
