@@ -83,3 +83,57 @@ class TestPartialFragmentCleanup:
         workdir = os.path.join(tdir, "upscale_video")
         # the partial fragment must NOT survive to poison a resume
         assert not os.path.exists(os.path.join(workdir, "1.y4m"))
+
+
+class TestCrashResume:
+    def test_interrupted_run_resumes_to_identical_output(self, tmp_path, monkeypatch):
+        """Kill the pipeline mid-video (encoder failure in batch 2), then
+        resume: the completed fragment is skipped, the rest is reprocessed,
+        and the final output is pixel-identical to an uninterrupted run —
+        the reference's centerpiece resume contract (SURVEY.md §5)."""
+        # negative -b adds +100 slack (reference :860), so multi-batch
+        # needs a longer clip: 210 frames at -2 -> batches of 205 + 5
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=210, seed=4)
+        tdir = str(tmp_path / "t")
+
+        # uninterrupted reference run
+        ref_out = str(tmp_path / "ref.y4m")
+        process_file(vid, output_file=ref_out, scale=2,
+                     temp_dir=str(tmp_path / "tref"), batch_size=-3,
+                     synthetic_models=True, precision="f32",
+                     resume_processing=True)
+
+        # interrupted run: batch 1 (205 frames) completes; crash in batch 2
+        orig_write = Y4MSink.write
+        state = {"n": 0}
+
+        def failing_write(self, frame):
+            state["n"] += 1
+            if state["n"] > 207:
+                raise IOError("simulated crash")
+            return orig_write(self, frame)
+
+        monkeypatch.setattr(Y4MSink, "write", failing_write)
+        out = str(tmp_path / "out.y4m")
+        with pytest.raises(IOError):
+            process_file(vid, output_file=out, scale=2, temp_dir=tdir,
+                         batch_size=-3, synthetic_models=True,
+                         precision="f32", resume_processing=True)
+        monkeypatch.setattr(Y4MSink, "write", orig_write)
+
+        workdir = os.path.join(tdir, "upscale_video")
+        assert os.path.exists(os.path.join(workdir, "1.y4m"))  # batch 1 done
+        assert not os.path.exists(os.path.join(workdir, "2.y4m"))  # partial purged
+
+        # resume completes using the surviving fragment
+        res = process_file(vid, output_file=out, scale=2, temp_dir=tdir,
+                           batch_size=-3, synthetic_models=True,
+                           precision="f32", resume_processing=True)
+        assert res is not None
+
+        from upscale_video_tpu.pipeline.quality import compare_sources
+
+        stats = compare_sources(ref_out, out)
+        assert stats.frames == 210
+        assert stats.min_psnr == float("inf")  # pixel-identical

@@ -27,7 +27,7 @@ def make_test_video(path: str, n_frames: int = 12, w: int = 32, h: int = 24,
     with Y4MSink(path, w, h, rate) as sink:
         for i in range(n_frames):
             f = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            f[:, : 2 + i % 5] = i * 10  # frame-varying structure
+            f[:, : 2 + i % 5] = (i * 10) % 256  # frame-varying structure
             frames.append(f)
             sink.write(f)
     return frames
