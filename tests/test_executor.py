@@ -189,3 +189,20 @@ def test_vsr_compare_cli(tmp_path, rng):
             s.write(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
     assert compare_main(["-a", a, "-b", a, "--json"]) == 0
     assert compare_main(["-a", a, "-b", a, "--min_psnr", "30"]) == 0
+
+
+@pytest.mark.skipif(not reference_models_available(), reason="reference zoo absent")
+def test_real_2x_compact_matches_numpy_oracle(rng):
+    """The real pretrained weights through the JAX executor vs the
+    independent numpy implementation: the strongest hermetic parity
+    evidence available without the ncnn runtime (PSNR >> the 1e-2 budget)."""
+    from upscale_video_tpu.ops.pixel import psnr
+
+    g = parse_param_file(os.path.join(REFERENCE_MODELS, "2x_Compact_Pretrain.param"))
+    params = load_weights_file(
+        g, os.path.join(REFERENCE_MODELS, "2x_Compact_Pretrain.bin")
+    )
+    x = rng.uniform(0, 1, (1, 48, 64, 3)).astype(np.float32)
+    got = np.asarray(build_forward(g, compute_dtype=jnp.float32)(params, x))
+    want = forward_numpy(g, params, x)
+    assert psnr(got * 255, want * 255) > 120  # numerically identical class
