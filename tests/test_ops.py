@@ -153,7 +153,6 @@ class TestEngineTiling:
     def test_engine_tile_flag_matches_whole_frame(self, rng):
         """ChainEngine with tile_size set (the HBM-bounded path used for
         Valar-class models) matches whole-frame output away from borders."""
-        import jax.numpy as jnp
         from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
         whole = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
@@ -164,7 +163,13 @@ class TestEngineTiling:
         a = whole.process(frames)
         b = tiled.process(frames)
         m = 2 * 18
-        np.testing.assert_array_equal(a[:, m:-m, m:-m], b[:, m:-m, m:-m])
+        # interior agrees to within one uint8 quantization step (float
+        # reassociation between differently-fused XLA programs can flip a
+        # value sitting exactly on a rounding boundary)
+        interior_diff = np.abs(
+            a[:, m:-m, m:-m].astype(int) - b[:, m:-m, m:-m].astype(int)
+        )
+        assert interior_diff.max() <= 1
         # borders differ only by the zero-context approximation; with
         # random weights on noise this still stays visually close
         assert psnr(a.astype(float), b.astype(float)) > 25
