@@ -61,6 +61,15 @@ if "rawvideo" in args and args[-1] == "-":
     out.flush()
     sys.exit(0)
 
+if "-map" in args:
+    # mux form: ffmpeg -i video -i source -map ... -c copy out
+    first_i = args.index("-i")
+    video = args[first_i + 1]
+    out_path = args[-1]
+    with open(video, "rb") as f, open(out_path, "wb") as o:
+        o.write(f.read())
+    sys.exit(0)
+
 if "concat" in args:
     list_file = args[args.index("-i") + 1]
     out_path = args[-1]
@@ -164,3 +173,21 @@ class TestFfmpegBackendPipeline:
         assert res.frames_processed == N
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3  # upscaled rawvideo
+
+
+def test_copy_audio_muxes(fake_ffmpeg, tmp_path):
+    """--copy_audio invokes the mux after concat (the fake binary copies
+    the concat output when it sees the two-input -map form)."""
+    from upscale_video_tpu.pipeline.process import process_file
+
+    src = tmp_path / "movie.raw"
+    src.write_bytes(b"container")
+    out = str(tmp_path / "movie.2x.raw")
+    res = process_file(
+        str(src), output_file=out, ffmpeg=fake_ffmpeg, scale=2,
+        temp_dir=str(tmp_path / "t"), synthetic_models=True,
+        precision="f32", copy_audio=True,
+    )
+    assert res.frames_processed == N
+    data = open(out, "rb").read()
+    assert len(data) == N * (2 * W) * (2 * H) * 3

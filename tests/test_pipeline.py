@@ -201,3 +201,28 @@ class TestPngDirInput:
         with Y4MSource(out) as src:
             frames = list(src)
         assert frames[0].shape == (40, 60, 3)
+
+
+class TestRealModelPipeline:
+    def test_end_to_end_with_pretrained_weights(self, tmp_path):
+        """Gated: full pipeline with the real 2x_Compact_Pretrain weights
+        (CPU), checking output geometry and that the SR output correlates
+        with a nearest-upscale of the input (sanity on real weights)."""
+        from tests.conftest import REFERENCE_MODELS, reference_models_available
+
+        if not reference_models_available():
+            pytest.skip("reference zoo absent")
+        vid = str(tmp_path / "in.y4m")
+        frames = make_test_video(vid, n_frames=2, w=48, h=32, seed=7)
+        out = str(tmp_path / "out.y4m")
+        res = process_file(
+            vid, output_file=out, scale=2, temp_dir=str(tmp_path / "t"),
+            model_path=REFERENCE_MODELS, precision="f32", frames_per_step=2,
+        )
+        assert res.frames_processed == 2
+        with Y4MSource(out) as src:
+            got = list(src)
+        assert got[0].shape == (64, 96, 3)
+        up = np.repeat(np.repeat(frames[0].astype(float), 2, 0), 2, 1)
+        corr = np.corrcoef(got[0].ravel().astype(float), up.ravel())[0, 1]
+        assert corr > 0.9

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
              "per-frame files (needed before test-images/fix-frames).",
     )
     p.add_argument(
+        "--copy_audio", action="store_true",
+        help="Mux the source's audio/subtitle streams into the output "
+             "(the reference pipeline silently drops them). Needs -f.",
+    )
+    p.add_argument(
         "--trace_dir",
         help="Capture a jax.profiler device trace of the run into this "
              "directory (view with TensorBoard/Perfetto).",
@@ -99,6 +104,7 @@ def _run(args) -> None:
         synthetic_models=args.synthetic_models,
         conv_impl=args.conv_impl,
         parallel_mode=args.parallel,
+        copy_audio=args.copy_audio,
     )
 
 

@@ -102,6 +102,7 @@ def process_file(
     synthetic_models: bool = False,
     conv_impl: str = "xla",
     parallel_mode: str = "dp",
+    copy_audio: bool = False,
 ) -> Optional[PipelineResult]:
     """Upscale a video file end to end.  Returns a PipelineResult, or None
     when the resume sentinel short-circuits.
@@ -179,6 +180,8 @@ def process_file(
     elapsed = time.time() - t0
 
     backend.concat(len(batches), output_file, workdir)
+    if copy_audio and ffmpeg:
+        _mux_audio(ffmpeg, output_file, input_file)
     write_sentinel(workdir, SENTINEL_COMPLETED, "Completed")
     fps = processed / elapsed if elapsed > 0 else 0.0
     log.info(
@@ -189,6 +192,21 @@ def process_file(
     if not resume_processing:
         shutil.rmtree(workdir)
     return PipelineResult(output_file, processed, elapsed, fps)
+
+
+def _mux_audio(ffmpeg, output_file, input_file) -> None:
+    """Stream-copy the source's audio/subs into the upscaled output
+    (beyond reference: its concat output is video-only)."""
+    tmp = output_file + ".mux.tmp" + os.path.splitext(output_file)[1]
+    result = ff.run_logged(ff.mux_audio_cmd(ffmpeg, output_file, input_file, tmp))
+    if result.returncode != 0 or not os.path.exists(tmp):
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        log.warning("audio mux failed (output kept video-only): %s",
+                    (result.stderr or "")[-200:])
+        return
+    os.replace(tmp, output_file)
+    log.info("muxed original audio/subtitle streams into %s", output_file)
 
 
 def _extract_all(backend, input_file, info, crop, workdir, ffmpeg) -> int:

@@ -108,6 +108,21 @@ def concat_cmd(ffmpeg: str, list_file: str, output_file: str) -> List[str]:
             "-i", list_file, "-loglevel", "error", "-c", "copy", output_file]
 
 
+def mux_audio_cmd(ffmpeg: str, video_file: str, source_file: str,
+                  output_file: str) -> List[str]:
+    """Mux the ORIGINAL container's audio/subtitle streams into the
+    upscaled video (stream-copy, no re-encode).
+
+    Beyond-reference: the reference's fragment pipeline drops every
+    non-video stream — its concat output (upscale_processing.py:689-730)
+    carries video only, so users lose the soundtrack.
+    """
+    return [ffmpeg, "-hide_banner", "-loglevel", "error", "-y",
+            "-i", video_file, "-i", source_file,
+            "-map", "0:v:0", "-map", "1:a?", "-map", "1:s?",
+            "-c", "copy", output_file]
+
+
 # ---------------------------------------------------------------------------
 # Probe + caches
 # ---------------------------------------------------------------------------
