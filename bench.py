@@ -30,6 +30,7 @@ def main() -> int:
     p.add_argument("--chain", type=int, default=10, help="short chain length K1")
     p.add_argument("--chain2", type=int, default=60, help="long chain length K2")
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--batch", type=int, default=1, help="frames per chained step")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--conv_impl", choices=["xla", "pallas"], default="xla",
                    help="conv backend (pallas: fused kernels, 2.2x faster per-layer; "
@@ -55,7 +56,7 @@ def main() -> int:
     fwd = model.forward
 
     rng = np.random.default_rng(0)
-    x = rng.uniform(0, 1, (1, args.height, args.width, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (args.batch, args.height, args.width, 3)).astype(np.float32)
 
     def make_chained(K):
         @jax.jit
@@ -74,7 +75,7 @@ def main() -> int:
     float(c2(x))
     t1 = statistics.median([_timed(lambda: float(c1(x))) for _ in range(args.reps)])
     t2 = statistics.median([_timed(lambda: float(c2(x))) for _ in range(args.reps)])
-    per_frame = (t2 - t1) / (k2 - k1)
+    per_frame = (t2 - t1) / ((k2 - k1) * args.batch)
     fps = 1.0 / per_frame
 
     if args.verbose:
