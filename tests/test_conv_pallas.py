@@ -72,13 +72,14 @@ class TestFusionPlan:
     def test_compact_plan(self):
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
         plans, absorbed = _plan_pallas_fusion(g)
-        # body convs (64ch) + the 64->12 up conv qualify (skinny OUTPUT is
-        # fine and avoids a pathological XLA tail); the skinny 3->64
-        # input conv stays on XLA
+        # body convs (64ch) fuse with their PReLUs; the up conv + shuffle +
+        # interp skip + add fuse into the SRVGG tail kernel; the skinny
+        # 3->64 input conv stays on XLA
         assert set(plans) == {"conv_1", "conv_2", "conv_up"}
-        assert absorbed == {"prelu_1", "prelu_2"}
         assert plans["conv_1"]["prelu"] == "prelu_1"
-        assert plans["conv_up"]["prelu"] is None
+        assert plans["conv_up"]["kind"] == "tail"
+        assert plans["conv_up"]["scale"] == 2
+        assert absorbed == {"prelu_1", "prelu_2", "shuffle", "skip_up", "residual"}
 
     def test_skinny_channels_not_fused(self):
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=8)

@@ -335,8 +335,9 @@ def _pallas_fusable(layer: NcnnLayer) -> bool:
 
 
 def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
-    """Map conv layer name -> fused activation plan, and the set of PReLU
-    layer names absorbed into their producing conv."""
+    """Map conv layer name -> fused activation plan, and the set of layer
+    names absorbed into a fused kernel (PReLUs, and the SRVGG tail's
+    PixelShuffle/Interp/Add when the whole tail fuses)."""
     consumers: Dict[str, List[int]] = {}
     for idx, layer in enumerate(graph.layers):
         for b in layer.inputs:
@@ -347,7 +348,13 @@ def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
     for idx, layer in enumerate(graph.layers):
         if layer.type != "Convolution" or not _pallas_fusable(layer):
             continue
-        plan = {"act": layer.attr_i(9, 0), "prelu": None, "out": layer.outputs[0]}
+        tail = _match_srvgg_tail(graph, consumers, idx)
+        if tail is not None:
+            plans[layer.name] = tail
+            absorbed.update(tail["absorbed"])
+            continue
+        plan = {"kind": "conv", "act": layer.attr_i(9, 0), "prelu": None,
+                "out": layer.outputs[0]}
         cons = consumers.get(layer.outputs[0], [])
         if (
             plan["act"] == 0
@@ -360,6 +367,52 @@ def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
             absorbed.add(prelu.name)
         plans[layer.name] = plan
     return plans, absorbed
+
+
+def _match_srvgg_tail(graph: NcnnGraph, consumers, conv_idx: int):
+    """Detect the SRVGG tail ``conv -> PixelShuffle(s) -> Add(<- Interp(s)
+    of the network input)`` (reference graph tail, 2x_Compact_Pretrain.param
+    layers Conv_34/DepthToSpace_35/Resize_36/Add_37) for the fused Pallas
+    tail kernel.  Returns a plan dict or None."""
+    conv = graph.layers[conv_idx]
+    if conv.attr_i(9, 0) != 0:
+        return None
+    cons = consumers.get(conv.outputs[0], [])
+    if len(cons) != 1 or graph.layers[cons[0]].type != "PixelShuffle":
+        return None
+    shuffle = graph.layers[cons[0]]
+    s = shuffle.attr_i(0, 1)
+    if s < 2 or shuffle.attr_i(1, 0) != 0 or conv.attr_i(0) != 3 * s * s:
+        return None
+    sh_cons = consumers.get(shuffle.outputs[0], [])
+    if len(sh_cons) != 1 or graph.layers[sh_cons[0]].type != "BinaryOp":
+        return None
+    add = graph.layers[sh_cons[0]]
+    if add.attr_i(0, 0) != 0 or add.attr_i(1, 0) != 0 or len(add.inputs) != 2:
+        return None
+    other = [b for b in add.inputs if b != shuffle.outputs[0]][0]
+    interp = next(
+        (l for l in graph.layers if other in l.outputs and l.type == "Interp"),
+        None,
+    )
+    if interp is None or interp.attr_i(0, 0) not in (0, 1):
+        return None
+    if interp.attr_f(1, 1.0) != float(s) or interp.attr_f(2, 1.0) != float(s):
+        return None
+    # the skip source must be the network input (directly or via Split)
+    skip_src = interp.inputs[0]
+    producer = next((l for l in graph.layers if skip_src in l.outputs), None)
+    if producer is None or producer.type not in ("Input", "Split"):
+        return None
+    if producer.type == "Split" and producer.inputs[0] != graph.input_blobs[0]:
+        return None
+    return {
+        "kind": "tail",
+        "scale": s,
+        "skip_blob": skip_src,
+        "out": add.outputs[0],
+        "absorbed": {shuffle.name, interp.name, add.name},
+    }
 
 
 def build_forward(
@@ -401,13 +454,21 @@ def build_forward(
         for b in layer.inputs:
             last_use[b] = i
 
-    def _run_pallas_conv(layer, x, params):
+    def _run_pallas_conv(layer, x, params, blobs=None):
         from upscale_video_tpu.ops.conv_pallas import (
             ACT_LEAKY, ACT_NONE, ACT_PRELU, ACT_RELU, conv3x3_fused_batch,
         )
 
         plan = fusion_plans[layer.name]
         p = params.get(layer.name, {})
+        if plan["kind"] == "tail":
+            from upscale_video_tpu.ops.tail_pallas import sr_tail_fused_batch
+
+            rgb = blobs[plan["skip_blob"]]
+            return sr_tail_fused_batch(
+                x, rgb, p["weight"],
+                p.get("bias"), scale=plan["scale"],
+            ).astype(output_dtype)
         bias = p.get("bias")
         slope = None
         act = ACT_NONE
@@ -436,10 +497,10 @@ def build_forward(
             if layer.name in fusion_plans:
                 plan = fusion_plans[layer.name]
                 blobs[plan["out"]] = _run_pallas_conv(
-                    layer, blobs[layer.inputs[0]], params
+                    layer, blobs[layer.inputs[0]], params, blobs
                 )
                 b_in = layer.inputs[0]
-                if last_use.get(b_in, -1) <= i + (1 if plan["prelu"] else 0) \
+                if last_use.get(b_in, -1) <= i + (1 if plan.get("prelu") else 0) \
                         and b_in in blobs and b_in != plan["out"]:
                     del blobs[b_in]
                 continue
