@@ -95,3 +95,16 @@ class TestFusionPlan:
         y1 = np.asarray(f_xla(params, x)).astype(np.float32)
         y2 = np.asarray(f_pal(params, x)).astype(np.float32)
         np.testing.assert_allclose(y1, y2, atol=2e-2)  # bf16 reassociation
+
+
+def test_conv_impl_auto_selection():
+    """auto: XLA for Compact, Pallas for Valar (profiler-driven policy)."""
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    compact = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                                conv_impl="auto")
+    assert compact.sr_model.pallas_conv is False
+    valar = ChainEngine.build(ChainSpec.parse("r"), 2, synthetic=True,
+                              conv_impl="auto")
+    assert valar.sr_model.pallas_conv is True
+    assert valar.scale == 4

@@ -1,0 +1,245 @@
+"""Bordered-chain Pallas conv stack: zero host ops between layers.
+
+The profiler attribution in NOTES.md shows the per-layer Pallas conv
+kernels are the fastest convs on the chip (~82 TFLOP/s in situ) but the
+naive composition loses it all to host-side glue: a pad (29 ms/frame) and
+an output crop (25 ms/frame) around EVERY layer, because each
+``conv3x3_fused`` call re-establishes its own padded layout.
+
+This module keeps a single **chain layout** across a whole stack of
+stride-1 3x3 convs, so consecutive layers connect custom-call-to-custom-
+call with no XLA ops in between:
+
+- array ``((gy+2)*th, (gx+2)*tw, 128)`` bf16: a one-tile frame of
+  **border blocks** surrounds the data region; border blocks are
+  rewritten to zeros by every layer (they stand in for conv zero padding),
+  and grid-padding inside the data region is masked to zero on read;
+- each layer is one ``pallas_call`` over the full grid: border blocks
+  write zeros; data blocks DMA their haloed window (always in-bounds
+  thanks to the border frame, so every in-kernel slice offset is static),
+  build the im2col patch matrix in VMEM, and run one MXU matmul with the
+  bias + activation epilogue;
+- layers may change channel count (cin_k -> cout_k <= 128); lanes beyond
+  cout are zero-filled.
+
+Host cost for an L-layer stack: ONE embed before and ONE crop after.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+class ChainLayer(NamedTuple):
+    wmat: jnp.ndarray  # (9*cin, cout) bf16
+    bias: jnp.ndarray  # (1, cout) f32
+    slope: jnp.ndarray  # (1, cout) f32 (PReLU/leaky) or zeros
+    act: int  # 0 none, 1 relu, 2 leaky(slope[0,0]), 3 prelu(per-channel)
+    cin: int
+    cout: int
+
+
+def _chain_kernel(w_ref, b_ref, s_ref, x_hbm, out_ref, win, sem,
+                  *, th: int, tw: int, cin: int, act: int,
+                  valid_h: int, valid_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    gy = pl.num_programs(0) - 2
+    gx = pl.num_programs(1) - 2
+    gx2 = gx + 2
+    win_w = tw + 16
+    k = i * gx2 + j
+    slot = k % 2
+
+    def window_dma(ii, jj, sl):
+        # clamped so prefetches issued from border steps stay in-bounds
+        r0 = jnp.clip(ii * th - 1, 0, (gy + 2) * th - (th + 2))
+        c0 = pl.multiple_of(
+            jnp.clip(jj * tw - 8, 0, gx2 * tw - win_w), 8
+        )
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0, th + 2), pl.ds(c0, win_w), :],
+            win.at[sl],
+            sem.at[sl],
+        )
+
+    is_border = jnp.logical_or(
+        jnp.logical_or(i == 0, i == gy + 1),
+        jnp.logical_or(j == 0, j == gx + 1),
+    )
+
+    @pl.when(k == 0)
+    def _warmup():
+        window_dma(i, j, slot).start()
+
+    # prefetch the NEXT grid step's window (double buffering across steps)
+    last = k == (gy + 2) * gx2 - 1
+    nj = jnp.where(j + 1 < gx2, j + 1, 0)
+    ni = jnp.where(j + 1 < gx2, i, i + 1)
+
+    @pl.when(jnp.logical_not(last))
+    def _prefetch():
+        window_dma(ni, nj, 1 - slot).start()
+
+    @pl.when(is_border)
+    def _zeros():
+        window_dma(i, j, slot).wait()  # drain our slot even if unused
+        out_ref[:, :, :] = jnp.zeros((th, tw, LANES), out_ref.dtype)
+
+    @pl.when(jnp.logical_not(is_border))
+    def _compute():
+        window_dma(i, j, slot).wait()
+        xt = win[slot]
+        # zero the grid-padding region inside the data area (stands in for
+        # conv zero padding at the true frame bottom/right).  Masks are
+        # built at full 3D shape — Mosaic rejects inserting a minor dim
+        # onto a 2D mask.
+        shape3 = (th + 2, win_w, LANES)
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape3, 0) + (i * th - 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, shape3, 1) + (j * tw - 8)
+        valid = jnp.logical_and(rows < th + valid_h, cols < tw + valid_w)
+        xt = jnp.where(valid, xt, jnp.zeros_like(xt))
+
+        m = th * tw
+        colsl = []
+        for dy in range(3):
+            for dx in range(3):
+                sl = xt[dy : dy + th, 7 + dx : 7 + dx + tw, :cin]
+                colsl.append(sl.reshape(m, cin))
+        patches = jnp.concatenate(colsl, axis=-1)
+
+        y = jnp.dot(patches, w_ref[:, :], preferred_element_type=jnp.float32)
+        y = y + b_ref[0, :].astype(jnp.float32)
+        if act == 1:
+            y = jnp.maximum(y, 0.0)
+        elif act == 2:
+            y = jnp.where(y >= 0, y, y * s_ref[0, 0].astype(jnp.float32))
+        elif act == 3:
+            slope = s_ref[0, :].astype(jnp.float32)
+            y = jnp.where(y >= 0, y, y * slope)
+        cout = y.shape[-1]
+        y = y.astype(out_ref.dtype)
+        if cout < LANES:
+            y = jnp.concatenate(
+                [y, jnp.zeros((m, LANES - cout), out_ref.dtype)], axis=-1
+            )
+        out_ref[:, :, :] = y.reshape(th, tw, LANES)
+
+
+def _chain_step(arr, layer: ChainLayer, th, tw, valid_h, valid_w, interpret):
+    gy2 = arr.shape[0] // th
+    gx2 = arr.shape[1] // tw
+    return pl.pallas_call(
+        functools.partial(
+            _chain_kernel, th=th, tw=tw, cin=layer.cin, act=layer.act,
+            valid_h=valid_h, valid_w=valid_w,
+        ),
+        grid=(gy2, gx2),
+        in_specs=[
+            pl.BlockSpec((9 * layer.cin, layer.cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, layer.cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, layer.cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (th, tw, LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(arr.shape, jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, tw + 16, LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(layer.wmat, layer.bias, layer.slope, arr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("acts", "tile_h", "tile_w", "interpret")
+)
+def _run_chain(x, wmats, biases, slopes, acts, tile_h, tile_w, interpret):
+    hgt, wid, cin0 = x.shape
+    th = min(tile_h, _round_up(hgt, 8))
+    tw = min(tile_w, _round_up(wid, 8))
+    gy = -(-hgt // th)
+    gx = -(-wid // tw)
+
+    # embed once: border frame + grid padding + lane padding, all zeros
+    arr = jnp.zeros(((gy + 2) * th, (gx + 2) * tw, LANES), jnp.bfloat16)
+    arr = jax.lax.dynamic_update_slice(
+        arr, x.astype(jnp.bfloat16), (th, tw, 0)
+    )
+
+    for wmat, b, s, act in zip(wmats, biases, slopes, acts):
+        cin = wmat.shape[0] // 9
+        layer = ChainLayer(wmat, b, s, act, cin, wmat.shape[1])
+        arr = _chain_step(arr, layer, th, tw, hgt, wid, interpret)
+
+    cout = wmats[-1].shape[1]
+    return jax.lax.dynamic_slice(
+        arr, (th, tw, 0), (hgt, wid, LANES)
+    )[:, :, :cout]
+
+
+def conv3x3_chain(
+    x: jnp.ndarray,
+    layers: Sequence[dict],
+    tile_h: int = 16,
+    tile_w: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Run a stack of SAME 3x3 convs over one (H, W, C) image.
+
+    ``layers``: dicts with ``weight`` (HWIO), optional ``bias``, ``slope``
+    (per-channel PReLU or 1-elem leaky), ``act`` (0 none / 1 relu /
+    2 leaky / 3 prelu).  Returns (H, W, cout_last) bf16.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wmats, biases, slopes, acts = [], [], [], []
+    for l in layers:
+        w = l["weight"]
+        kh, kw, cin, cout = w.shape
+        assert (kh, kw) == (3, 3) and cin <= LANES and cout <= LANES
+        wmats.append(jnp.asarray(w, jnp.bfloat16).reshape(9 * cin, cout))
+        b = l.get("bias")
+        biases.append(
+            (jnp.asarray(b) if b is not None else jnp.zeros((cout,)))
+            .reshape(1, cout).astype(jnp.float32)
+        )
+        s = l.get("slope")
+        if s is None:
+            slopes.append(jnp.zeros((1, cout), jnp.float32))
+        else:
+            s = jnp.asarray(s, jnp.float32).reshape(1, -1)
+            slopes.append(jnp.broadcast_to(s, (1, cout))
+                          if s.shape[1] in (1, cout) else s)
+        acts.append(int(l.get("act", 0)))
+    return _run_chain(x, tuple(wmats), tuple(biases), tuple(slopes),
+                      tuple(acts), tile_h, tile_w, interpret)
+
+
+def conv3x3_chain_batch(x, layers, **kw):
+    """Static unroll over N (HBM-space pallas operands cannot be vmapped)."""
+    return jnp.stack([
+        conv3x3_chain(x[i], layers, **kw) for i in range(x.shape[0])
+    ])
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m

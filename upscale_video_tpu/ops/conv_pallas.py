@@ -186,11 +186,17 @@ def conv3x3_fused(
 
 def conv3x3_fused_batch(x, w_hwio, bias=None, slope=None, act=ACT_NONE, **kw):
     """(N, H, W, C) batched wrapper; interprets the kernel off-TPU so the
-    same model code runs on the CPU test platform."""
+    same model code runs on the CPU test platform.
+
+    Batch is a static unroll, NOT vmap: Mosaic requires HBM-space pallas
+    operands to be whole arrays with trivial index maps, which a vmapped
+    leading batch dim violates for N > 1.  N is the pipeline's small
+    frames-per-step, so the unroll is cheap."""
     kw.setdefault("interpret", jax.default_backend() != "tpu")
-    return jax.vmap(
-        lambda im: conv3x3_fused(im, w_hwio, bias, slope, act, **kw)
-    )(x)
+    return jnp.stack([
+        conv3x3_fused(x[i], w_hwio, bias, slope, act, **kw)
+        for i in range(x.shape[0])
+    ])
 
 
 def _round_up(v: int, m: int) -> int:

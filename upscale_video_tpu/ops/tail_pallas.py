@@ -151,11 +151,13 @@ def sr_tail_fused(
 
 
 def sr_tail_fused_batch(u, rgb, w_hwio, bias, scale=2, **kw):
-    """(N, H, W, C) batched wrapper; interprets off-TPU (CPU tests)."""
+    """(N, H, W, C) batched wrapper; interprets off-TPU (CPU tests).
+    Static unroll over N (HBM-space pallas operands cannot be vmapped)."""
     kw.setdefault("interpret", jax.default_backend() != "tpu")
-    return jax.vmap(
-        lambda uu, rr: sr_tail_fused(uu, rr, w_hwio, bias, scale, **kw)
-    )(u, rgb)
+    return jnp.stack([
+        sr_tail_fused(u[i], rgb[i], w_hwio, bias, scale, **kw)
+        for i in range(u.shape[0])
+    ])
 
 
 def _round_up(v: int, m: int) -> int:

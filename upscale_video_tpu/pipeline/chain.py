@@ -101,14 +101,22 @@ class ChainEngine:
         tile: int = 0,
         halo: int = 16,
         synthetic: bool = False,
-        conv_impl: str = "xla",
+        conv_impl: str = "auto",
     ) -> "ChainEngine":
         """Load the models the chain needs (reference selection logic at
         upscale_processing.py:888-920).  ``synthetic=True`` builds
         random-weight Compact stand-ins (benchmarks, tests).
-        ``conv_impl='pallas'`` uses the fused Pallas conv3x3 kernels."""
+
+        ``conv_impl``: 'xla' | 'pallas' | 'auto'.  Auto picks per model
+        family from profiler-measured device times (NOTES.md): XLA's conv
+        fusion is near-optimal for the 64-channel Compact nets, while the
+        fused Pallas kernels are ~18% faster for Valar's narrow-channel
+        RRDB blocks."""
         scale = spec.effective_scale(scale)
-        pallas_conv = conv_impl == "pallas"
+        if conv_impl == "auto":
+            pallas_conv = spec.real_life
+        else:
+            pallas_conv = conv_impl == "pallas"
         anime_model = None
         sr_model = None
         if spec.anime:

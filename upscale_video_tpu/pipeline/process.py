@@ -100,7 +100,7 @@ def process_file(
     global_quality: Optional[int] = 20,
     data_plane: str = "stream",
     synthetic_models: bool = False,
-    conv_impl: str = "xla",
+    conv_impl: str = "auto",
     parallel_mode: str = "dp",
     copy_audio: bool = False,
 ) -> Optional[PipelineResult]:

@@ -56,7 +56,7 @@ log = logging.getLogger(__name__)
 
 
 def _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                  synthetic, conv_impl="xla"):
+                  synthetic, conv_impl="auto"):
     dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
     return ChainEngine.build(
         spec, scale, model_path=model_path, compute_dtype=dtype,
@@ -102,7 +102,7 @@ def upscale_only(
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
-    conv_impl: str = "xla",
+    conv_impl: str = "auto",
 ) -> Optional[int]:
     """Split-machine stage 1: upscale + zip, no video encode."""
     if scale not in VALID_SCALES:
@@ -280,7 +280,7 @@ def fix_frames(
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
-    conv_impl: str = "xla",
+    conv_impl: str = "auto",
 ) -> List[int]:
     """Repair listed frames: re-extract missing intermediates, re-run the
     chain on just those frames (reference upscale/fix_frames.py:25-277)."""
@@ -391,7 +391,7 @@ def process_image(
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
-    conv_impl: str = "xla",
+    conv_impl: str = "auto",
 ) -> List[str]:
     """Sampling tool: run a candidate chain on selected extracted frames,
     keeping every intermediate, and name results ``{frame}.{models}.png``
