@@ -24,14 +24,13 @@ Measured on v5e (bench.py two-K protocol, 1080p, 64ch):
 - XLA ``conv_general_dilated``: ~20 TFLOP/s
 - this kernel (double-buffered, th=16/tw=480): ~44 TFLOP/s per layer
 - a 16-layer chain of this kernel: 3.5 ms/layer (56 ms body total)
-- BUT the full mixed model shows parity with XLA (~150 ms/frame): the
-  win is currently eaten by per-boundary glue — the custom call pins
-  linear layouts (XLA re-tiles activations around it) and the host-side
-  channel-pad to the 128-lane tiling copies the activation every layer.
-  Round-2 path: keep activations lane-padded across the whole conv chain
-  (pad once after the input conv, slice once before the tail) and handle
-  the 1px spatial border in-kernel via clamped DMA windows, eliminating
-  all per-layer host copies.
+- full-model outcome (profiler-attributed, NOTES.md): for the 64-channel
+  Compact family XLA's own conv fusion is near-optimal and the per-layer
+  pad/crop glue makes this path a net loss there (the bordered-chain
+  variant in ops/conv_chain.py eliminates the glue and reaches parity);
+  for Valar's narrow-channel RRDB blocks this kernel is the WIN: -18%
+  whole-model device time vs XLA.  ``conv_impl="auto"`` encodes that
+  policy.
 """
 
 from __future__ import annotations
