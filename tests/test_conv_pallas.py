@@ -108,3 +108,21 @@ def test_conv_impl_auto_selection():
                               conv_impl="auto")
     assert valar.sr_model.pallas_conv is True
     assert valar.scale == 4
+
+
+def test_tiled_engine_with_pallas_convs(rng):
+    """tile_size + conv_impl=pallas (the HBM-bounded Valar path at high
+    resolutions): must match the whole-frame XLA engine away from borders."""
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    ref = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                            compute_dtype=jnp.float32, conv_impl="xla")
+    tiled = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                              compute_dtype=jnp.float32, conv_impl="pallas",
+                              tile=16, halo=18)
+    frames = rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+    a = ref.process(frames)
+    b = tiled.process(frames)
+    m = 2 * 18
+    diff = np.abs(a[:, m:-m, m:-m].astype(int) - b[:, m:-m, m:-m].astype(int))
+    assert diff.max() <= 1  # interior equal up to uint8 rounding
