@@ -94,3 +94,23 @@ class TestSpatialChips:
         eng2.use_chips("0,1,2,3", mode="sp")
         sp = eng2.process(frames)
         np.testing.assert_array_equal(single, sp)
+
+
+class TestTensorChips:
+    def test_tp_mode_matches_single(self, rng):
+        """-g with --parallel tp: conv output channels sharded across chips
+        (GSPMD inserts per-layer collectives); pixels must match
+        single-device, and the weights must actually be channel-sharded."""
+        eng = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                                compute_dtype=jnp.float32)
+        frames = rng.integers(0, 256, (2, 32, 16, 3), dtype=np.uint8)
+        single = eng.process(frames)
+
+        eng2 = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                                 compute_dtype=jnp.float32)
+        eng2.use_chips("0,1,2,3", mode="tp")
+        tp = eng2.process(frames)
+        np.testing.assert_array_equal(single, tp)
+        w = eng2.sr_model.params["conv_0"]["weight"]
+        spec = w.sharding.spec
+        assert tuple(spec) == (None, None, None, "tp")  # HWIO out-channel

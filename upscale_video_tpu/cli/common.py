@@ -50,9 +50,11 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
         help="Frames per device step (on-chip batch).",
     )
     p.add_argument(
-        "--parallel", choices=["dp", "sp"], default="dp",
+        "--parallel", choices=["dp", "sp", "tp"], default="dp",
         help="Multi-chip mode for -g: dp = frames across chips "
-             "(throughput), sp = each frame's rows across chips (latency).",
+             "(throughput), sp = each frame's rows across chips (latency), "
+             "tp = conv channels across chips (latency; per-layer ICI "
+             "collectives — only wins on channel-heavy models like Valar).",
     )
     p.add_argument(
         "--conv_impl", choices=["auto", "xla", "pallas"], default="auto",

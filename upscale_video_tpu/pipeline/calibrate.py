@@ -75,7 +75,12 @@ def run_calibration(
 
     points: List[CalibrationPoint] = []
     for depth in batch_depths:
-        n = depth * multiplier
+        # place the work on the requested chip multiset (dp mesh), exactly
+        # like the pipeline will — the reference timed pools actually
+        # spanning the user's GPU multiset (test_gpus.py:79-112)
+        n = engine.configure_chips(chips, depth)
+        if not chips:
+            n = depth * multiplier
         batch = np.broadcast_to(img, (n, *img.shape)).copy()
         engine.process(batch)  # compile
         times = []

@@ -147,15 +147,24 @@ class ChainEngine:
             x = self.anime_model.forward(self.anime_model.params, x)
         if self.sr_model is not None:
             if self.tile:
-                fwd = self.sr_model.forward
-                params = self.sr_model.params
-                fn = lambda tiles: fwd(params, tiles)
-                x = jax.vmap(
-                    lambda im: tiled_apply(fn, im, self.tile, self.halo, self.scale)
-                )(x)
+                x = self._tiled_sr(x)
             else:
                 x = self.sr_model.forward(self.sr_model.params, x)
         return x
+
+    def _tiled_sr(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Tiled SR over a frame batch.  Pallas pallas_call operands in HBM
+        memory space cannot be vmapped on TPU (Mosaic requires whole arrays
+        with trivial index maps), so when the model uses Pallas conv kernels
+        the frame batch is a static Python unroll instead of jax.vmap
+        (matching conv3x3_fused_batch's own policy)."""
+        fwd = self.sr_model.forward
+        params = self.sr_model.params
+        fn = lambda tiles: fwd(params, tiles)
+        per_frame = lambda im: tiled_apply(fn, im, self.tile, self.halo, self.scale)
+        if getattr(self.sr_model, "pallas_conv", False):
+            return jnp.stack([per_frame(x[i]) for i in range(x.shape[0])])
+        return jax.vmap(per_frame)(x)
 
     @property
     def step(self) -> Callable:
@@ -165,34 +174,65 @@ class ChainEngine:
         are sharded batch-wise over a ``dp`` mesh (XLA partitions every op
         along N with no collectives — frames are independent)."""
         if self._step is None:
-            order = self.channel_order
-
-            def _step(frames_u8):
-                x = frames_to_model(frames_u8, order)
-                y = self._model_stack(x)
-                return model_to_frames(y, order)
-
-            mesh = getattr(self, "_mesh", None)
-            if mesh is not None and getattr(self, "_mesh_mode", "dp") == "sp":
-                # shard each frame's H axis over the chips; the fused
-                # program's convs get their halo exchanges from XLA (GSPMD)
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                spec = NamedSharding(mesh, P(None, "sp", None, None))
-
-                jitted = jax.jit(_step, in_shardings=spec, out_shardings=spec)
-
-                def _sp_step(frames_u8):
-                    return jitted(jax.device_put(frames_u8, spec))
-
-                self._step = _sp_step
-            elif mesh is not None:
-                from upscale_video_tpu.parallel.data import data_parallel_fn
-
-                self._step = data_parallel_fn(_step, mesh)
-            else:
-                self._step = jax.jit(_step)
+            self._step = self._finalize(self.raw_step)
         return self._step
+
+    @property
+    def raw_step(self) -> Callable:
+        """The un-jitted uint8 (N,H,W,3) -> uint8 (N,sH,sW,3) program.
+
+        Exposed so bench.py can chain the EXACT shipped device program
+        (normalization + model chain + requantization) inside one compiled
+        loop — the measurement protocol the broken ``block_until_ready`` on
+        this platform forces (NOTES.md)."""
+        order = self.channel_order
+
+        def _step(frames_u8):
+            x = frames_to_model(frames_u8, order)
+            y = self._model_stack(x)
+            return model_to_frames(y, order)
+
+        return _step
+
+    def _finalize(self, fn: Callable) -> Callable:
+        """jit ``fn`` with whatever mesh :meth:`use_chips` selected: ``dp``
+        shards the frame batch, ``sp`` shards each frame's H axis (the fused
+        program's convs get their halo exchanges from XLA/GSPMD)."""
+        mesh = getattr(self, "_mesh", None)
+        mode = getattr(self, "_mesh_mode", "dp")
+        if mesh is not None and mode == "sp":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(mesh, P(None, "sp", None, None))
+            jitted = jax.jit(fn, in_shardings=spec, out_shardings=spec)
+
+            def _sp_step(frames_u8):
+                return jitted(jax.device_put(frames_u8, spec))
+
+            return _sp_step
+        if mesh is not None and mode == "tp":
+            # channel-sharded weights, replicated activations: XLA places
+            # the per-layer all-gathers on ICI (parallel/tensor.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from upscale_video_tpu.parallel.tensor import (
+                shard_params_channelwise,
+            )
+
+            for m in (self.anime_model, self.sr_model):
+                if m is not None:
+                    m.params = shard_params_channelwise(m.params, mesh)
+            repl = NamedSharding(mesh, P())
+            jitted = jax.jit(fn, out_shardings=repl)
+
+            def _tp_step(frames_u8):
+                return jitted(jax.device_put(frames_u8, repl))
+
+            return _tp_step
+        if mesh is not None:
+            from upscale_video_tpu.parallel.data import data_parallel_fn
+
+            return data_parallel_fn(fn, mesh)
+        return jax.jit(fn)
 
     def use_chips(self, chips: Optional[str], mode: str = "dp") -> int:
         """Apply a ``-g`` chip multiset: returns the batch multiplier.
@@ -214,11 +254,33 @@ class ChainEngine:
         chip_ids, multiplier = parse_chips(chips)
         if len(chip_ids) > 1:
             devices = select_devices(chip_ids)
-            axis = "sp" if mode == "sp" else "dp"
+            axis = mode if mode in ("sp", "tp") else "dp"
             self._mesh = make_mesh({axis: len(devices)}, devices=devices)
             self._mesh_mode = mode
             self._step = None  # rebuild with sharding
         return multiplier
+
+    def configure_chips(
+        self, chips: Optional[str], frames_per_step: int, mode: str = "dp",
+    ) -> int:
+        """Apply a ``-g`` multiset and return the adjusted frames-per-step
+        (scaled by chip repetition; rounded up to a multiple of the dp mesh
+        size so the batch shards evenly).  The one place every workflow —
+        process_file, upscale_only, fix_frames, process_image, calibration —
+        routes chip selection through (reference multi-GPU placement at
+        upscale_only.py:213-233, fix_frames.py:259-271, test_images.py:
+        126-144)."""
+        if not chips:
+            return frames_per_step
+        multiplier = self.use_chips(chips, mode=mode)
+        frames_per_step = max(frames_per_step * multiplier, frames_per_step)
+        mesh = getattr(self, "_mesh", None)
+        n_chips = len(mesh.devices.flat) if mesh is not None else 1
+        if n_chips > 1 and mode == "dp" and frames_per_step % n_chips:
+            frames_per_step = ((frames_per_step // n_chips) + 1) * n_chips
+        log.info("chips %s -> frames_per_step %d over %d chip(s)",
+                 chips, frames_per_step, n_chips)
+        return frames_per_step
 
     def process(self, frames_u8: np.ndarray) -> np.ndarray:
         """Run one host batch through the fused program."""
@@ -257,20 +319,16 @@ class ChainEngine:
         elif stage == "sr":
             if self.sr_model is None:
                 raise ValueError("chain has no SR stage (scale 1)")
-            model, tile, halo, scale = self.sr_model, self.tile, self.halo, self.scale
+            model, tile = self.sr_model, self.tile
 
             def _fn(frames_u8):
                 x = frames_to_model(frames_u8, order)
-                if tile:
-                    fn = lambda t: model.forward(model.params, t)
-                    y = jax.vmap(lambda im: tiled_apply(fn, im, tile, halo, scale))(x)
-                else:
-                    y = model.forward(model.params, x)
+                y = self._tiled_sr(x) if tile else model.forward(model.params, x)
                 return model_to_frames(y, order)
 
         else:
             raise ValueError(f"unknown stage {stage!r}")
-        return jax.jit(_fn)
+        return self._finalize(_fn)
 
     def describe(self) -> str:
         return " -> ".join(self.spec.stage_names()) + f" (scale {self.scale}x)"

@@ -144,6 +144,7 @@ def upscale_only(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
+    frames_per_step = engine.configure_chips(chips, frames_per_step)
     log.info("model chain: %s", engine.describe())
 
     all_frames = range(1, frames_count + 1)
@@ -329,6 +330,7 @@ def fix_frames(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
+    frames_per_step = engine.configure_chips(chips, frames_per_step)
 
     for f in frames:  # clear stale final artifacts (ref :240-244)
         p = os.path.join(workdir, f"{f}.png")
@@ -416,6 +418,7 @@ def process_image(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
+    frames_per_step = engine.configure_chips(chips, frames_per_step)
     in_tag = _run_chain_stages(engine, output_dir, frames, frames_per_step,
                                remove=False)
 
