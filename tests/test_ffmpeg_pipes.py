@@ -55,9 +55,18 @@ if "cropdetect" in " ".join(args):
     sys.exit(0)
 
 if "rawvideo" in args and args[-1] == "-":
+    import math
+    start = 0
+    if "-ss" in args:  # input seek: first frame with pts >= ts at 24 fps
+        ts = float(args[args.index("-ss") + 1])
+        start = max(0, math.ceil(ts * 24 - 1e-9))
+    count = N - start
+    if "-frames:v" in args:
+        count = min(count, int(args[args.index("-frames:v") + 1]))
     out = sys.stdout.buffer
-    for f in frames():
-        out.write(f.tobytes())
+    for i, f in enumerate(frames()):
+        if start <= i < start + count:
+            out.write(f.tobytes())
     out.flush()
     sys.exit(0)
 
@@ -124,6 +133,28 @@ class TestPipeSource:
         for i, f in enumerate(got):
             np.testing.assert_array_equal(f, expected_frame(i))
 
+    def test_start_frame_uses_input_seek(self, fake_ffmpeg):
+        """start_frame > 1 must seek with input-side -ss (O(GOP) resume),
+        not a decode-everything select filter (VERDICT round 1 item 6)."""
+        src = FfmpegPipeSource(fake_ffmpeg, "in.mkv", width=W, height=H,
+                               frame_rate=Fraction(24, 1), start_frame=3,
+                               num_frames=N - 2)
+        assert "-ss" in src.args
+        assert src.args.index("-ss") < src.args.index("-i")
+        assert not any("select" in a for a in src.args)
+        got = list(src)
+        src.close()
+        assert len(got) == N - 2
+        np.testing.assert_array_equal(got[0], expected_frame(2))
+
+    def test_start_frame_select_fallback(self, fake_ffmpeg):
+        src = FfmpegPipeSource(fake_ffmpeg, "in.mkv", width=W, height=H,
+                               frame_rate=Fraction(24, 1), start_frame=3,
+                               seek_mode="select", native=False)
+        assert "-ss" not in src.args
+        assert any("select=gte" in a for a in src.args)
+        src.close()
+
     def test_native_and_python_paths_agree(self, fake_ffmpeg):
         from upscale_video_tpu.native.pipeio import native_available
 
@@ -173,6 +204,54 @@ class TestFfmpegBackendPipeline:
         assert res.frames_processed == N
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3  # upscaled rawvideo
+
+
+    def test_resume_seeks_past_completed_prefix(self, fake_ffmpeg, tmp_path,
+                                                monkeypatch):
+        """Resume must open the decoder AT the first missing fragment's
+        start frame (via -ss) instead of decoding-and-discarding the whole
+        completed prefix."""
+        from upscale_video_tpu.pipeline import process as proc
+        from upscale_video_tpu.pipeline.process import process_file
+        from upscale_video_tpu.video import backend as vb
+
+        # 2 frames per fragment (negative batch sizing keeps the
+        # reference's +100 floor, too coarse for a 6-frame clip)
+        monkeypatch.setattr(proc, "frames_per_batch", lambda *a: 2)
+
+        src = tmp_path / "movie.raw"
+        src.write_bytes(b"container-bytes")
+        out = str(tmp_path / "movie.2x.raw")
+        kw = dict(
+            output_file=out, ffmpeg=fake_ffmpeg, scale=2,
+            temp_dir=str(tmp_path / "t"), batch_size=-3,
+            synthetic_models=True, precision="f32", frames_per_step=2,
+            resume_processing=True,
+        )
+        process_file(str(src), **kw)
+        full = open(out, "rb").read()
+
+        # rebuild a mid-job state: fragments 1-2 done, 3 missing (concat
+        # deleted the originals, so cut them back out of the final output)
+        workdir = tmp_path / "t" / "upscale_video"
+        os.remove(workdir / "completed.txt")
+        os.remove(out)
+        fb = (2 * W) * (2 * H) * 3  # upscaled raw frame bytes
+        (workdir / "1.raw").write_bytes(full[: 2 * fb])
+        (workdir / "2.raw").write_bytes(full[2 * fb : 4 * fb])
+
+        starts = []
+        orig = vb.FfmpegBackend.open_source
+
+        def spy(self, input_file, info, crop, start_frame=1):
+            starts.append(start_frame)
+            return orig(self, input_file, info, crop, start_frame)
+
+        monkeypatch.setattr(vb.FfmpegBackend, "open_source", spy)
+        res = process_file(str(src), **kw)
+        assert starts == [5]  # batches of 2: fragment 3 starts at frame 5
+        assert res.frames_processed == 2  # only the missing fragment
+        assert open(out, "rb").read() == full
 
 
 def test_copy_audio_muxes(fake_ffmpeg, tmp_path):

@@ -141,3 +141,40 @@ def test_reader_close_while_blocked():
     reader.close()  # worker is poll-looping; close must join promptly
     os.close(w_fd)
     os.close(r_fd)
+
+
+class TestImgproc:
+    """Native YCbCr converter must be bit-identical to the numpy reference
+    (same float op order, round-half-to-even) — it only changes speed."""
+
+    def test_parity_both_directions(self, rng):
+        from upscale_video_tpu.native import imgproc
+        from upscale_video_tpu.video.io import (
+            _rgb_to_ycbcr_full, _ycbcr_to_rgb_full,
+        )
+
+        if not imgproc.native_available():
+            pytest.skip("no compiler")
+        rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        ycc_np = _rgb_to_ycbcr_full(rgb)
+        ycc_nat = imgproc.rgb_to_ycbcr444(rgb)
+        np.testing.assert_array_equal(ycc_np.transpose(2, 0, 1), ycc_nat)
+        rgb_np = _ycbcr_to_rgb_full(ycc_np)
+        rgb_nat = imgproc.ycbcr444_to_rgb(
+            ycc_np[..., 0], ycc_np[..., 1], ycc_np[..., 2]
+        )
+        np.testing.assert_array_equal(rgb_np, rgb_nat)
+
+    def test_full_range_sweep(self):
+        """Every uint8 Y/Cb/Cr combination class: gray ramps + extremes."""
+        from upscale_video_tpu.native import imgproc
+        from upscale_video_tpu.video.io import _rgb_to_ycbcr_full
+
+        if not imgproc.native_available():
+            pytest.skip("no compiler")
+        lut = np.arange(256, dtype=np.uint8)
+        grid = np.stack(np.meshgrid(lut[::8], lut[::8], lut[::8],
+                                    indexing="ij"), -1).reshape(32, -1, 3)
+        got = imgproc.rgb_to_ycbcr444(np.ascontiguousarray(grid))
+        want = _rgb_to_ycbcr_full(grid).transpose(2, 0, 1)
+        np.testing.assert_array_equal(got, want)

@@ -170,3 +170,45 @@ class TestTensorParallel:
         tp = tensor_parallel_fn(fwd, mesh)
         got = np.asarray(tp(sharded, x))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestMultihostInit:
+    """initialize_multihost must trigger jax.distributed.initialize exactly
+    when the standard pod coordinator env vars are present (the DCN half of
+    the comms story; the zip hand-off covers loosely-coupled fleets)."""
+
+    def test_noop_without_env(self, monkeypatch):
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda *a, **k: calls.append(1))
+        from upscale_video_tpu.parallel.mesh import initialize_multihost
+
+        assert initialize_multihost() == 1  # single process
+        assert calls == []
+
+    def test_initializes_with_coordinator(self, monkeypatch):
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:8476")
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda *a, **k: calls.append(1))
+        from upscale_video_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
+        assert calls == [1]
+
+    def test_process_file_calls_it(self, tmp_path, monkeypatch):
+        from tests.test_pipeline import make_test_video
+        from upscale_video_tpu.pipeline.process import process_file
+
+        called = []
+        monkeypatch.setattr(
+            "upscale_video_tpu.parallel.mesh.initialize_multihost",
+            lambda: called.append(1) or 1,
+        )
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=2)
+        process_file(vid, scale=2, temp_dir=str(tmp_path / "t"),
+                     synthetic_models=True, precision="f32")
+        assert called == [1]

@@ -226,3 +226,17 @@ class TestRealModelPipeline:
         up = np.repeat(np.repeat(frames[0].astype(float), 2, 0), 2, 1)
         corr = np.corrcoef(got[0].ravel().astype(float), up.ravel())[0, 1]
         assert corr > 0.9
+
+
+def test_keep_awake_is_noop_without_wakepy():
+    """Sleep-inhibit shim: the one reference capability dropped in round 1
+    (upscale_processing.py:847) — a no-op on servers, real when wakepy
+    exists, and never raises either way."""
+    from upscale_video_tpu.utils.wake import keep_awake
+
+    with keep_awake():
+        pass
+    # exceptions from the body must propagate untouched
+    with pytest.raises(RuntimeError, match="boom"):
+        with keep_awake():
+            raise RuntimeError("boom")

@@ -55,6 +55,25 @@ class TestY4M:
             # full-range BT.601 444 round-trip: off-by-one from rounding
             assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
 
+    def test_skip_seeks_frames(self, rng, tmp_path):
+        """skip(n) must land on frame n+1 without decoding (resume path)."""
+        frames = [
+            rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(5)
+        ]
+        p = str(tmp_path / "t.y4m")
+        with Y4MSink(p, 32, 24, Fraction(24, 1)) as sink:
+            for f in frames:
+                sink.write(f)
+        with Y4MSource(p) as ref, Y4MSource(p) as src:
+            wanted = [ref.read() for _ in range(5)][3]
+            assert src.skip(3) == 3
+            np.testing.assert_array_equal(src.read(), wanted)
+            assert src.read() is not None
+            assert src.read() is None
+        with Y4MSource(p) as src:  # skipping past EOF reports the shortfall
+            assert src.skip(9) == 5
+            assert src.read() is None
+
     def test_gray_lossless(self, tmp_path):
         """Gray frames survive YCbCr exactly (Cb=Cr=128)."""
         f = np.full((16, 16, 3), 77, np.uint8)

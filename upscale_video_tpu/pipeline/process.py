@@ -103,6 +103,7 @@ def process_file(
     conv_impl: str = "auto",
     parallel_mode: str = "dp",
     copy_audio: bool = False,
+    engine: Optional[ChainEngine] = None,
 ) -> Optional[PipelineResult]:
     """Upscale a video file end to end.  Returns a PipelineResult, or None
     when the resume sentinel short-circuits.
@@ -150,33 +151,36 @@ def process_file(
         log.info("extract only — frames extraction completed")
         return None
 
-    compute_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
-    engine = ChainEngine.build(
-        spec, scale, model_path=model_path, compute_dtype=compute_dtype,
-        tile=tile_size, halo=halo, synthetic=synthetic_models,
-        conv_impl=conv_impl,
-    )
-    if chips:
-        multiplier = engine.use_chips(chips, mode=parallel_mode)
-        frames_per_step = max(frames_per_step * multiplier, frames_per_step)
-        mesh = getattr(engine, "_mesh", None)
-        n_chips = len(mesh.devices.flat) if mesh is not None else 1
-        if n_chips > 1 and parallel_mode == "dp" and frames_per_step % n_chips:
-            frames_per_step = ((frames_per_step // n_chips) + 1) * n_chips
-        log.info("chips %s -> frames_per_step %d", chips, frames_per_step)
+    from upscale_video_tpu.parallel.mesh import initialize_multihost
+
+    n_procs = initialize_multihost()  # no-op outside jointly-scheduled pods
+    if n_procs > 1:
+        log.info("multi-host pod initialized (%d processes)", n_procs)
+
+    if engine is None:
+        compute_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+        engine = ChainEngine.build(
+            spec, scale, model_path=model_path, compute_dtype=compute_dtype,
+            tile=tile_size, halo=halo, synthetic=synthetic_models,
+            conv_impl=conv_impl,
+        )  # callers may pass a pre-built engine to reuse compiled programs
+    frames_per_step = engine.configure_chips(chips, frames_per_step, parallel_mode)
     log.info("model chain: %s", engine.describe())
 
+    from upscale_video_tpu.utils.wake import keep_awake
+
     t0 = time.time()
-    if data_plane == "png":
-        processed = _run_png_plane(
-            engine, backend, input_file, info, crop, workdir, batches,
-            frames_per_step, ffmpeg,
-        )
-    else:
-        processed = _run_stream_plane(
-            engine, backend, input_file, info, crop, workdir, batches,
-            frames_per_step,
-        )
+    with keep_awake():  # reference holds wakepy for the whole job (:847)
+        if data_plane == "png":
+            processed = _run_png_plane(
+                engine, backend, input_file, info, crop, workdir, batches,
+                frames_per_step, ffmpeg,
+            )
+        else:
+            processed = _run_stream_plane(
+                engine, backend, input_file, info, crop, workdir, batches,
+                frames_per_step,
+            )
     elapsed = time.time() - t0
 
     backend.concat(len(batches), output_file, workdir)
@@ -242,15 +246,34 @@ def _run_stream_plane(
     processed = 0
     timer = StageTimer()
 
+    # resume: seek straight past the contiguous completed-fragment prefix
+    # (time-based -ss / file skip — O(1) in prefix length, unlike the
+    # decode-and-discard this replaces); interior gaps after the prefix
+    # still fast-forward by reading (rare: only a hand-deleted fragment)
+    first_todo = 1
+    while first_todo <= len(batches) and os.path.exists(
+        os.path.join(workdir, backend.fragment_name(first_todo))
+    ):
+        first_todo += 1
+    if first_todo > len(batches):
+        log.info("all %d fragments exist, nothing to upscale", len(batches))
+        return 0
+    start_frame = batches[first_todo][0]
+    if start_frame > 1:
+        log.info("resume: %d fragments done, seeking to frame %d",
+                 first_todo - 1, start_frame)
+
     source = PrefetchSource(
-        backend.open_source(input_file, info, crop),
+        backend.open_source(input_file, info, crop, start_frame=start_frame),
         depth=2 * frames_per_step,
     )
     try:
         for batch, (start, end) in batches.items():
+            if batch < first_todo:
+                continue  # before the seek point; nothing was decoded
             frag = os.path.join(workdir, backend.fragment_name(batch))
             if os.path.exists(frag):
-                # resume: fast-forward the decoder past this fragment
+                # interior gap: fast-forward the decoder past this fragment
                 for _ in range(start, end + 1):
                     if source.read() is None:
                         break

@@ -53,8 +53,13 @@ class VideoBackend(ABC):
         ...
 
     @abstractmethod
-    def open_source(self, input_file: str, info: Dict, crop: str) -> FrameSource:
-        """Sequential source over the whole video (after cropping)."""
+    def open_source(
+        self, input_file: str, info: Dict, crop: str, start_frame: int = 1,
+    ) -> FrameSource:
+        """Sequential source over the video (after cropping), beginning at
+        1-indexed ``start_frame`` — cheaply (time-based seek / file skip),
+        so resume cost is independent of the completed-prefix length
+        (reference skip-if-exists resume, upscale_processing.py:923-926)."""
 
     @abstractmethod
     def open_fragment_sink(
@@ -94,12 +99,13 @@ class FfmpegBackend(VideoBackend):
     def crop_detect(self, input_file, duration, workdir):
         return ff.get_crop_detect(self.ffmpeg, input_file, duration, cache_dir=workdir)
 
-    def open_source(self, input_file, info, crop):
+    def open_source(self, input_file, info, crop, start_frame=1):
         h, w = self.source_geometry(info, crop)
+        remaining = info["number_of_frames"] - (start_frame - 1)
         return FfmpegPipeSource(
             self.ffmpeg, input_file, width=w, height=h,
             frame_rate=Fraction(info["frame_rate_fraction"]),
-            crop_filter=crop, num_frames=info["number_of_frames"],
+            crop_filter=crop, num_frames=remaining, start_frame=start_frame,
         )
 
     def fragment_name(self, batch):
@@ -168,13 +174,16 @@ class HermeticBackend(VideoBackend):
     def crop_detect(self, input_file, duration, workdir):
         return ""  # no detector without ffmpeg; geometry passes through
 
-    def open_source(self, input_file, info, crop):
+    def open_source(self, input_file, info, crop, start_frame=1):
         if os.path.isdir(input_file):
             return PngDirSource(
-                input_file, tag="",
+                input_file, tag="", start=start_frame,
                 frame_rate=Fraction(info["frame_rate_fraction"]),
             )
-        return Y4MSource(input_file)
+        src = Y4MSource(input_file)
+        if start_frame > 1:
+            src.skip(start_frame - 1)  # file seeks, no decode
+        return src
 
     def fragment_name(self, batch):
         return f"{batch}.{self.output_format}"
@@ -187,6 +196,13 @@ class HermeticBackend(VideoBackend):
 
     def concat(self, num_batches, output_file, workdir):
         """Frame-accurate concat of y4m fragments into one stream."""
+        if num_batches == 1:
+            # single fragment IS the output (saves a full re-read/re-write
+            # of the movie; y4m headers are identical by construction)
+            import shutil
+
+            shutil.move(os.path.join(workdir, self.fragment_name(1)), output_file)
+            return
         first = Y4MSource(os.path.join(workdir, self.fragment_name(1)))
         sink = Y4MSink(output_file, first.width, first.height, first.frame_rate)
         try:
