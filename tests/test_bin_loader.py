@@ -88,3 +88,31 @@ def test_load_reference_bins(stem, first_conv, feat):
     assert b.shape == (feat,)
     # fp16-stored weights must be in a sane range
     assert np.abs(w).max() < 100
+
+
+@pytest.mark.skipif(not reference_models_available(), reason="reference zoo absent")
+@pytest.mark.slow
+def test_valar_byte_layout_roundtrip():
+    """Lock the .bin byte layout against the one zoo graph whose real
+    weights are unobtainable (4x_Valar_v1.bin is absent upstream,
+    .MISSING_LARGE_BLOBS:1): synthesize weights for the REAL 1206-layer
+    .param graph, emit the .bin, and strict-load it back — proving the
+    loader walks all 420 convs' tagged blocks with zero trailing bytes."""
+    g = parse_param_file(os.path.join(REFERENCE_MODELS, "4x_Valar_v1.param"))
+    assert len(g.layers) == 1206
+    params = synthesize_weights(g, seed=11)
+    data = emit_bin(g, params)
+    loaded = load_weights(g, data, strict=True)  # raises on trailing bytes
+    assert set(loaded) == set(params)
+    total = 0
+    for name, p in params.items():
+        for key, arr in p.items():
+            got = loaded[name][key]
+            assert got.shape == arr.shape, (name, key)
+            # emit uses the zoo's own fp16 storage tag for weights
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(arr, np.float32),
+                atol=2e-3, rtol=2e-3,
+            )
+            total += arr.size
+    assert total > 16_000_000  # RRDBNet: ~16.7M params

@@ -72,19 +72,33 @@ class TestFusionPlan:
     def test_compact_plan(self):
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
         plans, absorbed = _plan_pallas_fusion(g)
-        # body convs (64ch) fuse with their PReLUs; the up conv + shuffle +
-        # interp skip + add fuse into the SRVGG tail kernel; the skinny
-        # 3->64 input conv stays on XLA
-        assert set(plans) == {"conv_1", "conv_2", "conv_up"}
-        assert plans["conv_1"]["prelu"] == "prelu_1"
+        # the whole conv body (incl. the 3->64 input conv) runs as ONE
+        # bordered chain — zero host glue between layers; the up conv +
+        # shuffle + interp skip + add fuse into the SRVGG tail kernel
+        assert set(plans) == {"conv_0", "conv_up"}
+        assert plans["conv_0"]["kind"] == "chain"
+        names = [i["name"] for i in plans["conv_0"]["items"]]
+        assert names == ["conv_0", "conv_1", "conv_2"]
+        assert [i["prelu"] for i in plans["conv_0"]["items"]] == [
+            "prelu_0", "prelu_1", "prelu_2"
+        ]
         assert plans["conv_up"]["kind"] == "tail"
         assert plans["conv_up"]["scale"] == 2
-        assert absorbed == {"prelu_1", "prelu_2", "shuffle", "skip_up", "residual"}
+        assert absorbed == {"prelu_0", "prelu_1", "prelu_2", "conv_1",
+                            "conv_2", "shuffle", "skip_up", "residual"}
 
-    def test_skinny_channels_not_fused(self):
+    def test_skinny_channels_chain_without_tail(self):
+        """Narrow nets still chain (lane padding is paid once), but the
+        tail kernel needs a solo-profitable up conv, so shuffle/skip stay
+        on XLA."""
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=8)
         plans, absorbed = _plan_pallas_fusion(g)
-        assert plans == {} and absorbed == set()
+        assert set(plans) == {"conv_0"}
+        assert plans["conv_0"]["kind"] == "chain"
+        names = [i["name"] for i in plans["conv_0"]["items"]]
+        # conv_up (8->12ch) joins the chain; shuffle consumes its output
+        assert names == ["conv_0", "conv_1", "conv_2", "conv_up"]
+        assert "shuffle" not in absorbed
 
     def test_forward_matches_xla_path(self, rng):
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
@@ -116,13 +130,14 @@ def test_tiled_engine_with_pallas_convs(rng):
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
     ref = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
-                            compute_dtype=jnp.float32, conv_impl="xla")
+                            compute_dtype=jnp.bfloat16, conv_impl="xla")
     tiled = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
-                              compute_dtype=jnp.float32, conv_impl="pallas",
+                              compute_dtype=jnp.bfloat16, conv_impl="pallas",
                               tile=16, halo=18)
+    assert tiled.sr_model.pallas_conv  # f32 would downgrade to XLA
     frames = rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8)
     a = ref.process(frames)
     b = tiled.process(frames)
     m = 2 * 18
     diff = np.abs(a[:, m:-m, m:-m].astype(int) - b[:, m:-m, m:-m].astype(int))
-    assert diff.max() <= 1  # interior equal up to uint8 rounding
+    assert diff.max() <= 2  # interior equal up to bf16+uint8 rounding

@@ -334,10 +334,35 @@ def _pallas_fusable(layer: NcnnLayer) -> bool:
         and cin >= 32 and cout >= 8
 
 
+def _chain_eligible(layer: NcnnLayer) -> bool:
+    """Convs the bordered-chain kernel (ops/conv_chain.py) can take as a
+    chain member: SAME 3x3 stride-1 dilation-1 with both channel counts
+    inside one 128-lane tile.  Unlike :func:`_pallas_fusable` there is no
+    minimum cin — the chain pays its lane padding ONCE for the whole stack,
+    so even the 3-channel input conv rides along (skipping it would insert
+    an XLA->custom-call layout boundary instead)."""
+    from upscale_video_tpu.models.bin_loader import _infer_conv_in_channels
+
+    kw = layer.attr_i(1)
+    kh = layer.attr_i(11, kw)
+    sw = layer.attr_i(3, 1)
+    sh = layer.attr_i(13, sw)
+    dw = layer.attr_i(2, 1)
+    dh = layer.attr_i(12, dw)
+    pads = {layer.attr_i(4, 0), layer.attr_i(14, layer.attr_i(4, 0)),
+            layer.attr_i(15, layer.attr_i(4, 0)), layer.attr_i(16, layer.attr_i(4, 0))}
+    cout = layer.attr_i(0)
+    cin = _infer_conv_in_channels(layer) or 0
+    return (kw, kh) == (3, 3) and (sw, sh) == (1, 1) and (dw, dh) == (1, 1) \
+        and pads == {1} and layer.attr_i(9, 0) in (0, 1, 2) \
+        and 0 < cin <= 128 and 0 < cout <= 128
+
+
 def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
     """Map conv layer name -> fused activation plan, and the set of layer
-    names absorbed into a fused kernel (PReLUs, and the SRVGG tail's
-    PixelShuffle/Interp/Add when the whole tail fuses)."""
+    names absorbed into a fused kernel (PReLUs, the SRVGG tail's
+    PixelShuffle/Interp/Add when the whole tail fuses, and the members of
+    bordered-chain runs beyond the first)."""
     consumers: Dict[str, List[int]] = {}
     for idx, layer in enumerate(graph.layers):
         for b in layer.inputs:
@@ -346,15 +371,19 @@ def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
     plans: Dict[str, Dict[str, Any]] = {}
     absorbed: set = set()
     for idx, layer in enumerate(graph.layers):
-        if layer.type != "Convolution" or not _pallas_fusable(layer):
+        if layer.type != "Convolution":
             continue
-        tail = _match_srvgg_tail(graph, consumers, idx)
-        if tail is not None:
-            plans[layer.name] = tail
-            absorbed.update(tail["absorbed"])
+        if not (_pallas_fusable(layer) or _chain_eligible(layer)):
             continue
+        if _pallas_fusable(layer):
+            tail = _match_srvgg_tail(graph, consumers, idx)
+            if tail is not None:
+                plans[layer.name] = tail
+                absorbed.update(tail["absorbed"])
+                continue
         plan = {"kind": "conv", "act": layer.attr_i(9, 0), "prelu": None,
-                "out": layer.outputs[0]}
+                "out": layer.outputs[0], "solo": _pallas_fusable(layer),
+                "chainable": _chain_eligible(layer)}
         cons = consumers.get(layer.outputs[0], [])
         if (
             plan["act"] == 0
@@ -366,7 +395,71 @@ def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
             plan["out"] = prelu.outputs[0]
             absorbed.add(prelu.name)
         plans[layer.name] = plan
+
+    _assemble_chains(graph, consumers, plans, absorbed)
+
+    # drop per-layer plans for convs that are neither solo-profitable nor
+    # part of a chain (e.g. a lone skinny conv): XLA handles those
+    for name in [n for n, p in plans.items()
+                 if p["kind"] == "conv" and not p["solo"]]:
+        prelu = plans[name]["prelu"]
+        if prelu:
+            absorbed.discard(prelu)
+        del plans[name]
     return plans, absorbed
+
+
+def _assemble_chains(graph: NcnnGraph, consumers, plans, absorbed) -> None:
+    """Upgrade maximal runs of >=2 linearly-linked chainable convs into one
+    bordered-chain plan (ops/conv_chain.py): the whole run executes as L
+    back-to-back pallas_calls with ONE embed before and ONE crop after,
+    eliminating the per-layer pad/crop glue that made the per-layer kernels
+    a model-level loss (NOTES.md profiler attribution)."""
+    idx_of = {l.name: i for i, l in enumerate(graph.layers)}
+    in_chain: set = set()
+    for layer in graph.layers:
+        name = layer.name
+        if name in in_chain or name not in plans:
+            continue
+        if plans[name]["kind"] != "conv" or not plans[name]["chainable"]:
+            continue
+        seq = [layer]
+        while True:
+            last_plan = plans[seq[-1].name]
+            cons = consumers.get(last_plan["out"], [])
+            if len(cons) != 1:
+                break
+            nxt = graph.layers[cons[0]]
+            if (
+                nxt.type != "Convolution"
+                or nxt.name not in plans
+                or plans[nxt.name]["kind"] != "conv"
+                or not plans[nxt.name]["chainable"]
+                or nxt.name in in_chain
+            ):
+                break
+            seq.append(nxt)
+        if len(seq) < 2:
+            continue
+        items = []
+        for l in seq:
+            p = plans[l.name]
+            items.append({
+                "name": l.name,
+                "prelu": p["prelu"],
+                "act": p["act"],
+                "slope_attr": l.attr(10, [0.0]),
+            })
+        chain_plan = {
+            "kind": "chain",
+            "items": items,
+            "out": plans[seq[-1].name]["out"],
+        }
+        for l in seq[1:]:
+            del plans[l.name]
+            absorbed.add(l.name)
+        plans[seq[0].name] = chain_plan
+        in_chain.update(l.name for l in seq)
 
 
 def _match_srvgg_tail(graph: NcnnGraph, consumers, conv_idx: int):
@@ -391,6 +484,11 @@ def _match_srvgg_tail(graph: NcnnGraph, consumers, conv_idx: int):
     if add.attr_i(0, 0) != 0 or add.attr_i(1, 0) != 0 or len(add.inputs) != 2:
         return None
     other = [b for b in add.inputs if b != shuffle.outputs[0]][0]
+    # every absorbed intermediate must be single-consumer: if the upsampled
+    # skip (or any absorbed blob) feeds another layer, fusing the tail would
+    # leave that consumer's input blob uncomputed (KeyError in forward)
+    if len(consumers.get(other, [])) != 1:
+        return None
     interp = next(
         (l for l in graph.layers if other in l.outputs and l.type == "Interp"),
         None,
@@ -434,6 +532,18 @@ def build_forward(
     if unsupported:
         raise NotImplementedError(f"unsupported ncnn layer types: {unsupported}")
 
+    if pallas_conv and compute_dtype == jnp.float32:
+        # the fused kernels hold tiles/weights in bf16 (MXU-native); the
+        # documented "f32 = max quality" contract is only honoured by the
+        # XLA path (Precision.HIGHEST in _op_convolution), so downgrade.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "precision f32 requested: Pallas conv kernels compute in bf16, "
+            "using the XLA conv path (true-f32 MXU passes) instead"
+        )
+        pallas_conv = False
+
     input_blobs = graph.input_blobs
     if len(input_blobs) != 1:
         raise ValueError(f"expected exactly one Input, got {input_blobs}")
@@ -469,6 +579,23 @@ def build_forward(
                 x, rgb, p["weight"],
                 p.get("bias"), scale=plan["scale"],
             ).astype(output_dtype)
+        if plan["kind"] == "chain":
+            from upscale_video_tpu.ops.conv_chain import conv3x3_chain_batch
+
+            specs = []
+            for item in plan["items"]:
+                lp = params[item["name"]]
+                spec = {"weight": lp["weight"], "bias": lp.get("bias")}
+                if item["prelu"] is not None:
+                    spec["slope"] = params[item["prelu"]]["slope"]
+                    spec["act"] = 3
+                elif item["act"] == 2:  # fused leaky-relu (attr 9=2)
+                    spec["slope"] = jnp.asarray(item["slope_attr"], jnp.float32)
+                    spec["act"] = 2
+                elif item["act"] == 1:
+                    spec["act"] = 1
+                specs.append(spec)
+            return conv3x3_chain_batch(x, specs).astype(compute_dtype)
         bias = p.get("bias")
         slope = None
         act = ACT_NONE
