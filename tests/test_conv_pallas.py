@@ -73,19 +73,23 @@ class TestFusionPlan:
         g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
         plans, absorbed = _plan_pallas_fusion(g)
         # the whole conv body (incl. the 3->64 input conv) runs as ONE
-        # bordered chain — zero host glue between layers; the up conv +
-        # shuffle + interp skip + add fuse into the SRVGG tail kernel
-        assert set(plans) == {"conv_0", "conv_up"}
-        assert plans["conv_0"]["kind"] == "chain"
-        names = [i["name"] for i in plans["conv_0"]["items"]]
+        # bordered chain — zero host glue between layers — and the SRVGG
+        # tail (up conv + shuffle + interp skip + add) fuses INTO the
+        # chain plan, reading the ring layout directly
+        assert set(plans) == {"conv_0"}
+        plan = plans["conv_0"]
+        assert plan["kind"] == "chain"
+        names = [i["name"] for i in plan["items"]]
         assert names == ["conv_0", "conv_1", "conv_2"]
-        assert [i["prelu"] for i in plans["conv_0"]["items"]] == [
+        assert [i["prelu"] for i in plan["items"]] == [
             "prelu_0", "prelu_1", "prelu_2"
         ]
-        assert plans["conv_up"]["kind"] == "tail"
-        assert plans["conv_up"]["scale"] == 2
+        assert plan["tail"]["conv"] == "conv_up"
+        assert plan["tail"]["scale"] == 2
+        assert plan["out"] == "output"
         assert absorbed == {"prelu_0", "prelu_1", "prelu_2", "conv_1",
-                            "conv_2", "shuffle", "skip_up", "residual"}
+                            "conv_2", "conv_up", "shuffle", "skip_up",
+                            "residual"}
 
     def test_skinny_channels_chain_without_tail(self):
         """Narrow nets still chain (lane padding is paid once), but the
@@ -109,6 +113,21 @@ class TestFusionPlan:
         y1 = np.asarray(f_xla(params, x)).astype(np.float32)
         y2 = np.asarray(f_pal(params, x)).astype(np.float32)
         np.testing.assert_allclose(y1, y2, atol=2e-2)  # bf16 reassociation
+
+    def test_frames_contract_matches(self, rng):
+        """emit_frames=True: the u8 epilogue fused into the Pallas tail
+        must agree with the XLA path's epilogue (uint8 RGB, <=1 lsb)."""
+        g = make_srvgg_graph(scale=2, num_conv=2, num_feat=64)
+        params = synthesize_weights(g, seed=3)
+        x = rng.uniform(0, 1, (2, 16, 24, 3)).astype(np.float32)
+        f_xla = build_forward(g, compute_dtype=jnp.bfloat16, emit_frames=True)
+        f_pal = build_forward(g, compute_dtype=jnp.bfloat16, pallas_conv=True,
+                              emit_frames=True)
+        y1 = np.asarray(f_xla(params, x))
+        y2 = np.asarray(f_pal(params, x))
+        assert y1.dtype == y2.dtype == np.uint8
+        assert y1.shape == y2.shape == (2, 32, 48, 3)
+        assert np.abs(y1.astype(int) - y2.astype(int)).max() <= 1
 
 
 def test_conv_impl_auto_selection():

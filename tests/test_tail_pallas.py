@@ -51,3 +51,57 @@ def test_ragged_geometry(rng):
     want = np.asarray(_xla_tail(u, rgb, w, b, 2))
     assert got.shape == (26, 42, 3)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestChainTail:
+    """Tail consuming the conv-chain ring layout directly (no crop/re-pad
+    between body and tail — the round-1 boundary-glue gap)."""
+
+    def _setup(self, rng, H=13, W=19, C=8, scale=2):
+        from upscale_video_tpu.ops.conv_chain import conv3x3_chain
+
+        x = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+        body = [
+            {"weight": rng.normal(0, 0.2, (3, 3, 3, C)).astype(np.float32),
+             "bias": rng.normal(0, 0.05, C).astype(np.float32), "act": 3,
+             "slope": rng.uniform(0.1, 0.3, C).astype(np.float32)},
+            {"weight": rng.normal(0, 0.2, (3, 3, C, C)).astype(np.float32),
+             "bias": rng.normal(0, 0.05, C).astype(np.float32), "act": 3,
+             "slope": rng.uniform(0.1, 0.3, C).astype(np.float32)},
+        ]
+        w = jnp.asarray(
+            rng.normal(0, 0.1, (3, 3, C, 3 * scale * scale)).astype(np.float32))
+        b = jnp.asarray(rng.normal(0, 0.05, (3 * scale * scale,)).astype(np.float32))
+        arr = conv3x3_chain(x, body, tile_h=8, tile_w=16, interpret=True,
+                            crop=False)
+        u = conv3x3_chain(x, body, tile_h=8, tile_w=16, interpret=True)
+        return x, arr, u, w, b
+
+    def test_matches_standard_tail(self, rng):
+        from upscale_video_tpu.ops.tail_pallas import sr_tail_fused_chain
+
+        x, arr, u, w, b = self._setup(rng)
+        got = np.asarray(sr_tail_fused_chain(
+            arr, x, w, b, scale=2, hgt=13, wid=19, tile_h=8, tile_w=16,
+            interpret=True))
+        want = np.asarray(_xla_tail(u.astype(jnp.float32), x, w, b, 2))
+        assert got.shape == (26, 38, 3)
+        np.testing.assert_allclose(got, want, atol=2e-2)
+
+    def test_emit_u8_matches_epilogue(self, rng):
+        """u8 emission must equal model_to_frames(XLA tail) exactly
+        (same x255 + round-half-even + clamp + channel flip)."""
+        from upscale_video_tpu.ops.pixel import model_to_frames
+        from upscale_video_tpu.ops.tail_pallas import sr_tail_fused_chain
+
+        x, arr, u, w, b = self._setup(rng)
+        got = np.asarray(sr_tail_fused_chain(
+            arr, x, w, b, scale=2, hgt=13, wid=19, tile_h=8, tile_w=16,
+            emit_u8=True, reverse_channels=True, interpret=True))
+        assert got.dtype == np.uint8
+        yf = sr_tail_fused_chain(
+            arr, x, w, b, scale=2, hgt=13, wid=19, tile_h=8, tile_w=16,
+            interpret=True)
+        want = np.asarray(model_to_frames(yf, "bgr"))
+        # identical float epilogue; allow 1 lsb for bf16 skip rounding
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -461,6 +461,23 @@ def _assemble_chains(graph: NcnnGraph, consumers, plans, absorbed) -> None:
         plans[seq[0].name] = chain_plan
         in_chain.update(l.name for l in seq)
 
+        # fuse a directly-following SRVGG tail: the tail kernel reads the
+        # chain's ring layout straight from HBM (no crop/re-pad between
+        # body and tail — the round-1 boundary-glue gap, NOTES.md item 1)
+        cons = consumers.get(chain_plan["out"], [])
+        if len(cons) == 1:
+            nxt = graph.layers[cons[0]]
+            tail = plans.get(nxt.name)
+            if (
+                tail is not None
+                and tail.get("kind") == "tail"
+                and not consumers.get(tail["out"])  # tail IS the output
+            ):
+                chain_plan["tail"] = dict(tail, conv=nxt.name)
+                chain_plan["out"] = tail["out"]
+                del plans[nxt.name]
+                absorbed.add(nxt.name)
+
 
 def _match_srvgg_tail(graph: NcnnGraph, consumers, conv_idx: int):
     """Detect the SRVGG tail ``conv -> PixelShuffle(s) -> Add(<- Interp(s)
@@ -518,13 +535,21 @@ def build_forward(
     compute_dtype: Any = jnp.bfloat16,
     output_dtype: Any = jnp.float32,
     pallas_conv: bool = False,
+    emit_frames: bool = False,
+    channel_order: str = "bgr",
 ) -> Callable:
     """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
 
     The returned function is trace-compatible: wrap in ``jax.jit`` (or shard
-    with ``shard_map``) at the call site.  Input/output are float tensors in
-    the model's native [0,1] domain, matching the reference normalization
+    with ``shard_map``) at the call site.  Input is a float tensor in the
+    model's native [0,1] domain, matching the reference normalization
     ``1/255`` applied before extraction (upscale_processing.py:271-273).
+
+    ``emit_frames=True`` changes the OUTPUT contract to display-ready
+    uint8 RGB frames: the ``x255 + round + clamp`` epilogue (and the
+    BGR->RGB flip for ``channel_order='bgr'``) fuses into the Pallas tail
+    kernel when the graph's tail is chain-fused, and into XLA otherwise —
+    either way the caller skips ``model_to_frames``.
     """
     unsupported = sorted(
         {l.type for l in graph.layers if l.type not in OP_REGISTRY}
@@ -580,7 +605,9 @@ def build_forward(
                 p.get("bias"), scale=plan["scale"],
             ).astype(output_dtype)
         if plan["kind"] == "chain":
-            from upscale_video_tpu.ops.conv_chain import conv3x3_chain_batch
+            from upscale_video_tpu.ops.conv_chain import (
+                conv3x3_chain, conv3x3_chain_batch,
+            )
 
             specs = []
             for item in plan["items"]:
@@ -595,7 +622,31 @@ def build_forward(
                 elif item["act"] == 1:
                     spec["act"] = 1
                 specs.append(spec)
-            return conv3x3_chain_batch(x, specs).astype(compute_dtype)
+            tail = plan.get("tail")
+            if tail is None:
+                return conv3x3_chain_batch(x, specs).astype(compute_dtype)
+
+            # chain + fused tail: per-frame unroll, ring layout handed from
+            # the chain straight to the tail kernel
+            from upscale_video_tpu.ops.tail_pallas import sr_tail_fused_chain
+
+            interpret = jax.default_backend() != "tpu"
+            tp = params[tail["conv"]]
+            rgb = blobs[tail["skip_blob"]]
+            n, hgt, wid = x.shape[0], x.shape[1], x.shape[2]
+            outs = []
+            for i in range(n):
+                arr = conv3x3_chain(x[i], specs, crop=False,
+                                    interpret=interpret)
+                outs.append(sr_tail_fused_chain(
+                    arr, rgb[i], tp["weight"], tp.get("bias"),
+                    scale=tail["scale"], hgt=hgt, wid=wid,
+                    emit_u8=emit_frames,
+                    reverse_channels=emit_frames and channel_order == "bgr",
+                    interpret=interpret,
+                ))
+            y = jnp.stack(outs)
+            return y if emit_frames else y.astype(output_dtype)
         bias = p.get("bias")
         slope = None
         act = ACT_NONE
@@ -642,7 +693,14 @@ def build_forward(
             for b in layer.inputs:
                 if last_use.get(b) == i and b in blobs:
                     del blobs[b]
-        y = blobs[output_blobs[0]].astype(output_dtype)
+        y = blobs[output_blobs[0]]
+        if emit_frames:
+            if y.dtype != jnp.uint8:  # no fused tail: XLA epilogue
+                from upscale_video_tpu.ops.pixel import model_to_frames
+
+                y = model_to_frames(y.astype(jnp.float32), channel_order)
+        else:
+            y = y.astype(output_dtype)
         return y[0] if squeeze else y
 
     return forward

@@ -64,6 +64,7 @@ class Model:
     compute_dtype: Any = jnp.bfloat16
     pallas_conv: bool = False  # fused Pallas conv3x3 kernels (ops/conv_pallas)
     _forward: Callable = field(default=None, repr=False)
+    _frames_forward: Callable = field(default=None, repr=False)
     _jitted: Callable = field(default=None, repr=False)
 
     @property
@@ -75,6 +76,21 @@ class Model:
                 pallas_conv=self.pallas_conv,
             )
         return self._forward
+
+    def frames_forward(self, channel_order: str = "bgr") -> Callable:
+        """``forward`` variant emitting display-ready uint8 RGB frames:
+        the requantization epilogue fuses into the Pallas tail kernel when
+        the graph tail is chain-fused, into XLA otherwise (so the pipeline
+        never pays a separate x255/round/flip pass over the 4K output)."""
+        if self._frames_forward is None:
+            self._frames_forward = build_forward(
+                self.graph,
+                compute_dtype=self.compute_dtype,
+                pallas_conv=self.pallas_conv,
+                emit_frames=True,
+                channel_order=channel_order,
+            )
+        return self._frames_forward
 
     @property
     def jitted(self) -> Callable:

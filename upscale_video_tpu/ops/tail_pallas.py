@@ -150,6 +150,163 @@ def sr_tail_fused(
     return full[: hgt * scale, : wid * scale, :]
 
 
+def _tail_chain_kernel(w_ref, b_ref, u_hbm, rgb_hbm, out_ref, ubuf, rbuf, sem,
+                       *, th: int, tw: int, cin: int, lanes: int, scale: int,
+                       valid_h: int, valid_w: int, emit_u8: bool,
+                       reverse_channels: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    win_w = tw + 16
+
+    # haloed window straight out of the conv-chain ring layout: data region
+    # starts at (th, tw); ring zeros stand in for conv SAME padding
+    dma_u = pltpu.make_async_copy(
+        u_hbm.at[pl.ds(th + i * th - 1, th + 2),
+                 pl.ds(pl.multiple_of(tw + j * tw - 8, 8), win_w), :],
+        ubuf, sem.at[0],
+    )
+    dma_r = pltpu.make_async_copy(
+        rgb_hbm.at[pl.ds(i * th, th), pl.ds(j * tw, tw), :], rbuf,
+        sem.at[1],
+    )
+    dma_u.start()
+    dma_r.start()
+    dma_u.wait()
+
+    ut = ubuf[:, :, :]
+    # grid-padding region holds stale bytes from the chain's recycled
+    # buffers — mask to zero (true conv padding at frame bottom/right)
+    shape3 = (th + 2, win_w, lanes)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape3, 0) + (i * th - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape3, 1) + (j * tw - 8)
+    valid = jnp.logical_and(rows < valid_h, cols < valid_w)
+    ut = jnp.where(valid, ut, jnp.zeros_like(ut))
+
+    m = th * tw
+    colsl = []
+    for dy in range(3):
+        for dx in range(3):
+            colsl.append(
+                ut[dy : dy + th, 7 + dx : 7 + dx + tw, :cin].reshape(m, cin)
+            )
+    patches = jnp.concatenate(colsl, axis=-1)
+
+    y = jnp.dot(patches, w_ref[:, :], preferred_element_type=jnp.float32)
+    y = y + b_ref[0, :].astype(jnp.float32)
+
+    dma_r.wait()
+    skip = rbuf[:, :, :3].astype(jnp.float32)  # lanes padded to 128 for DMA
+
+    y3 = y.reshape(th, tw, -1)
+    for c in range(3):
+        sk = skip[:, :, c : c + 1]
+        c_out = (2 - c) if reverse_channels else c
+        for a in range(scale):
+            for b in range(scale):
+                k = c * scale * scale + a * scale + b
+                plane = y3[:, :, k : k + 1] + sk  # model-domain [0,1]
+                if emit_u8:
+                    v = jnp.clip(jnp.round(plane * 255.0), 0.0, 255.0)
+                    # Mosaic lacks a direct f32->u8 cast; go via i32
+                    # (exact: v is integral in [0, 255] after round+clip)
+                    out_ref[c_out, a, b, :, :] = (
+                        v[:, :, 0].astype(jnp.int32).astype(out_ref.dtype)
+                    )
+                else:
+                    out_ref[c_out, a, b, :, :] = plane[:, :, 0].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "tile_h", "tile_w", "hgt", "wid", "emit_u8",
+                     "reverse_channels", "interpret"),
+)
+def sr_tail_fused_chain(
+    arr: jnp.ndarray,
+    rgb: jnp.ndarray,
+    w_hwio: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    scale: int,
+    hgt: int,
+    wid: int,
+    tile_h: int = 48,
+    tile_w: int = 384,
+    emit_u8: bool = False,
+    reverse_channels: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused SR tail consuming the conv-chain RING layout directly (no
+    crop/re-pad between the body and the tail — the VERDICT round-1 gap).
+
+    Args:
+      arr: ring-layout body activations from ``conv3x3_chain(crop=False)``
+        with ``tile_h/tile_w`` matching; data region at tile offset (1,1).
+      rgb: (H, W, 3) model-domain float skip (the network input).
+      w_hwio: (3, 3, Cf, 3*scale^2) tail conv weights; bias optional.
+      emit_u8: fuse the frame epilogue (x255, round-half-even, clamp) and
+        return uint8; with ``reverse_channels`` the BGR->RGB flip happens
+        in the plane writes, so the host does ONE cheap u8 interleave and
+        no separate reverse pass.
+
+    Returns (H*scale, W*scale, 3) — uint8 when ``emit_u8`` else float32.
+    """
+    rows, cols, lanes = arr.shape
+    th = min(tile_h, _round_up(hgt, 8))
+    tw = min(tile_w, _round_up(wid, 8))
+    gy = rows // th - 2
+    gx = cols // tw - 2
+    kh, kw, cin, cout = w_hwio.shape
+    assert (kh, kw) == (3, 3) and cin <= lanes and cout == 3 * scale * scale
+
+    rgbp = jnp.pad(
+        rgb.astype(jnp.bfloat16),
+        ((0, gy * th - hgt), (0, gx * tw - wid), (0, 128 - 3)),
+    )  # lanes padded to the 128 tile (Mosaic DMA slice alignment)
+    wmat = w_hwio.reshape(9 * cin, cout).astype(jnp.bfloat16)
+    b = (bias if bias is not None else jnp.zeros((cout,))).reshape(1, cout)
+    b = b.astype(jnp.float32)
+
+    out_dtype = jnp.uint8 if emit_u8 else jnp.float32
+    out = pl.pallas_call(
+        functools.partial(
+            _tail_chain_kernel, th=th, tw=tw, cin=cin, lanes=lanes,
+            scale=scale, valid_h=hgt, valid_w=wid, emit_u8=emit_u8,
+            reverse_channels=reverse_channels,
+        ),
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec((9 * cin, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, scale, scale, th, tw), lambda i, j: (0, 0, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, scale, scale, gy * th, gx * tw), out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, tw + 16, lanes), jnp.bfloat16),
+            pltpu.VMEM((th, tw, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(wmat, b, arr, rgbp)
+
+    # polyphase (c, a, b, H', W') -> HWC (s*H', s*W', c), then crop
+    full = out.transpose(3, 1, 4, 2, 0).reshape(
+        scale * gy * th, scale * gx * tw, 3
+    )
+    return full[: hgt * scale, : wid * scale, :]
+
+
 def sr_tail_fused_batch(u, rgb, w_hwio, bias, scale=2, **kw):
     """(N, H, W, C) batched wrapper; interprets off-TPU (CPU tests).
     Static unroll over N (HBM-space pallas operands cannot be vmapped)."""

@@ -184,13 +184,28 @@ class ChainEngine:
         Exposed so bench.py can chain the EXACT shipped device program
         (normalization + model chain + requantization) inside one compiled
         loop — the measurement protocol the broken ``block_until_ready`` on
-        this platform forces (NOTES.md)."""
+        this platform forces (NOTES.md).
+
+        The requantization epilogue rides the SR model's ``frames_forward``
+        (fused into the Pallas tail kernel when the graph tail is
+        chain-fused, into XLA otherwise); only the tiled and scale-1 paths
+        still requantize as a separate XLA pass."""
         order = self.channel_order
 
         def _step(frames_u8):
             x = frames_to_model(frames_u8, order)
-            y = self._model_stack(x)
-            return model_to_frames(y, order)
+            if self.spec.denoise:
+                h = jnp.float32(self.spec.denoise)
+                x = jax.vmap(lambda im: nl_means_denoise(im, h))(x)
+            if self.anime_model is not None:
+                x = self.anime_model.forward(self.anime_model.params, x)
+            if self.sr_model is not None:
+                if self.tile:
+                    return model_to_frames(self._tiled_sr(x), order)
+                return self.sr_model.frames_forward(order)(
+                    self.sr_model.params, x
+                )
+            return model_to_frames(x, order)
 
         return _step
 
@@ -323,8 +338,9 @@ class ChainEngine:
 
             def _fn(frames_u8):
                 x = frames_to_model(frames_u8, order)
-                y = self._tiled_sr(x) if tile else model.forward(model.params, x)
-                return model_to_frames(y, order)
+                if tile:
+                    return model_to_frames(self._tiled_sr(x), order)
+                return model.frames_forward(order)(model.params, x)
 
         else:
             raise ValueError(f"unknown stage {stage!r}")
