@@ -131,7 +131,9 @@ class TestFusionPlan:
 
 
 def test_conv_impl_auto_selection():
-    """auto: XLA for Compact, Pallas for Valar (profiler-driven policy)."""
+    """auto: XLA convs for both families (round-2 A/B: the dense-scatter
+    rewrite makes XLA the Valar winner at 32.5 ms/192px-tile vs 40.8 for
+    the round-1 Pallas path; mixed Pallas+scatter regresses 4x)."""
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
     compact = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
@@ -139,8 +141,10 @@ def test_conv_impl_auto_selection():
     assert compact.sr_model.pallas_conv is False
     valar = ChainEngine.build(ChainSpec.parse("r"), 2, synthetic=True,
                               conv_impl="auto")
-    assert valar.sr_model.pallas_conv is True
+    assert valar.sr_model.pallas_conv is False
     assert valar.scale == 4
+    # the Valar stand-in must be architecture-faithful (RRDB, not Compact)
+    assert valar.sr_model.graph.count_types()["Concat"] == 276
 
 
 def test_tiled_engine_with_pallas_convs(rng):

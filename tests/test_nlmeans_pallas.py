@@ -53,3 +53,20 @@ def test_sigma_offset(rng):
 def test_constant_fixed_point():
     x = np.full((16, 32, 3), 0.37, np.float32)
     np.testing.assert_allclose(_pallas(x, 20.0), 0.37, atol=1e-5)
+
+
+def test_engine_denoise_backend_selection(rng):
+    """ChainEngine routes denoise through the backend conv_impl selects;
+    both backends produce the same uint8 stage output (pipeline/chain.py
+    _denoise; reference denoise pool at upscale_processing.py:350-361)."""
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    frames = rng.integers(0, 256, (2, 24, 40, 3)).astype(np.uint8)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        eng = ChainEngine.build(
+            ChainSpec.parse("n=7"), 1, synthetic=True, conv_impl=impl,
+        )
+        assert eng.kernel_impl == impl
+        outs[impl] = np.asarray(eng.stage_fn("denoise")(jnp.asarray(frames)))
+    np.testing.assert_array_equal(outs["xla"], outs["pallas"])

@@ -306,6 +306,198 @@ OP_REGISTRY: Dict[str, Callable] = {
 }
 
 
+def _infer_blob_channels(graph: NcnnGraph) -> Dict[str, int]:
+    """Static channel-count inference over the graph (blob -> C).
+
+    ncnn blobs carry no shape metadata; channel widths are derivable from
+    conv attrs and propagation rules.  Blobs whose width cannot be derived
+    are absent from the result (callers must treat missing as unknown).
+    Used by the dense-scatter planner to resolve Concat part offsets.
+    """
+    ch: Dict[str, int] = {b: 3 for b in graph.input_blobs}
+    passthrough = {
+        "Split", "Noop", "Dropout", "ReLU", "Clip", "Sigmoid", "PReLU",
+        "Interp", "Identity",
+    }
+    for layer in graph.layers:
+        if layer.type in ("Convolution", "ConvolutionDepthWise", "Deconvolution"):
+            ch[layer.outputs[0]] = layer.attr_i(0)
+        elif layer.type in passthrough:
+            c = ch.get(layer.inputs[0]) if layer.inputs else None
+            if c is not None:
+                for b in layer.outputs:
+                    ch[b] = c
+        elif layer.type in ("BinaryOp", "Eltwise"):
+            known = [ch[b] for b in layer.inputs if b in ch]
+            if known:
+                ch[layer.outputs[0]] = max(known)
+        elif layer.type == "Concat":
+            if layer.attr_i(0, 0) == 0:  # CHW channel axis
+                parts = [ch.get(b) for b in layer.inputs]
+                if all(c is not None for c in parts):
+                    ch[layer.outputs[0]] = sum(parts)
+            else:
+                c = ch.get(layer.inputs[0])
+                if c is not None:
+                    ch[layer.outputs[0]] = c
+        elif layer.type == "PixelShuffle":
+            c = ch.get(layer.inputs[0])
+            r = layer.attr_i(0, 1)
+            if c is not None and r and c % (r * r) == 0:
+                ch[layer.outputs[0]] = c // (r * r)
+    return ch
+
+
+def _dense_conv_class(layer: NcnnLayer) -> str | None:
+    """Classify a conv for the dense-scatter rewrite.
+
+    Returns ``"3x3"`` for SAME 3x3 stride-1 dilation-1 convs, ``"1x1"``
+    for pad-0 1x1 stride-1 convs (promotable into a 3x3 group by zero
+    embedding), else None.  Activation must be none/relu/leaky so it can
+    be deferred to the accumulation site.
+    """
+    if layer.type != "Convolution" or len(layer.inputs) != 1:
+        return None
+    if layer.attr_i(9, 0) not in (0, 1, 2):
+        return None
+    kw = layer.attr_i(1)
+    kh = layer.attr_i(11, kw)
+    sw, sh = layer.attr_i(3, 1), layer.attr_i(13, layer.attr_i(3, 1))
+    dw, dh = layer.attr_i(2, 1), layer.attr_i(12, layer.attr_i(2, 1))
+    pads = {layer.attr_i(4, 0), layer.attr_i(14, layer.attr_i(4, 0)),
+            layer.attr_i(15, layer.attr_i(4, 0)),
+            layer.attr_i(16, layer.attr_i(4, 0))}
+    if (sw, sh) != (1, 1) or (dw, dh) != (1, 1):
+        return None
+    if (kw, kh) == (3, 3) and pads == {1}:
+        return "3x3"
+    if (kw, kh) == (1, 1) and pads == {0}:
+        return "1x1"
+    return None
+
+
+def _plan_dense_scatter(graph: NcnnGraph, consumers: Dict[str, List[int]]):
+    """Plan the dense-block *scatter* rewrite for RRDB-style graphs.
+
+    The reference's real-life model (models/4x_Valar_v1.param, ESRGAN
+    dense blocks) is a chain of convs over growing Concats whose output
+    widths are 32 — a 25% fill of the MXU's 128 output lanes, the single
+    biggest perf sink in the zoo (NOTES.md: 762 ms per 480px tile).
+
+    Rewrite: ``conv(concat(x0..xk), W)`` is linear in channels, so it
+    decomposes into per-source pieces ``sum_j conv(xj, W[:, :, off_j:, :])``.
+    *Scatter form* computes, at the moment each source ``xj`` is produced,
+    its contribution to EVERY downstream conv in ONE conv with the weight
+    slices concatenated along the output axis (N = 96..224 instead of 32),
+    then accumulates per target and applies bias+activation at the
+    original layer position.  Per RDB this cuts padded MXU passes ~2.2x;
+    direct convs reading the same source (Conv_1-style) and promotable
+    1x1s (Conv_6-style, zero-embedded to 3x3) ride the same pass for free.
+
+    Returns ``(piece_groups, dense_targets, dead_layers)``:
+
+    - piece_groups: root blob -> list of target dicts (conv name, input
+      slice, output width, 1x1 promotion flag), one fused conv per root;
+    - dense_targets: conv layer name -> accumulation plan;
+    - dead_layers: Concat layers whose output is no longer materialized.
+    """
+    producers: Dict[str, int] = {}
+    for i, layer in enumerate(graph.layers):
+        for b in layer.outputs:
+            producers[b] = i
+
+    def root_of(blob: str) -> str:
+        seen = set()
+        while blob not in seen:
+            seen.add(blob)
+            pi = producers.get(blob)
+            if pi is None:
+                return blob
+            layer = graph.layers[pi]
+            if layer.type in ("Split", "Noop") and layer.inputs:
+                blob = layer.inputs[0]
+            else:
+                return blob
+        return blob
+
+    channels = _infer_blob_channels(graph)
+
+    # pass 1: concat-fed convs decompose into per-source pieces
+    piece_groups: Dict[str, List[dict]] = {}
+    dense_targets: Dict[str, dict] = {}
+    concat_of: Dict[str, str] = {}  # dense conv -> concat layer name
+    for idx, layer in enumerate(graph.layers):
+        if _dense_conv_class(layer) != "3x3":
+            continue
+        src = layer.inputs[0]
+        pi = producers.get(src)
+        if pi is None:
+            continue
+        concat = graph.layers[pi]
+        if concat.type != "Concat" or concat.attr_i(0, 0) != 0:
+            continue
+        if len(consumers.get(src, [])) != 1:
+            continue
+        widths = [channels.get(b) for b in concat.inputs]
+        if any(w is None for w in widths):
+            continue
+        pieces, off = [], 0
+        for part, w in zip(concat.inputs, widths):
+            root = root_of(part)
+            if producers.get(root, -1) >= idx and root not in graph.input_blobs:
+                break  # source not available before the conv (shouldn't happen)
+            pieces.append((root, off, w))
+            off += w
+        else:
+            n_out = layer.attr_i(0)
+            for root, in_off, w in pieces:
+                piece_groups.setdefault(root, []).append({
+                    "conv": layer.name, "in_off": in_off, "width": w,
+                    "n_out": n_out, "promote1x1": False,
+                })
+            dense_targets[layer.name] = {
+                "n_pieces": len(pieces), "act": layer.attr_i(9, 0),
+                "act_params": layer.attr(10, [0.0]), "out": layer.outputs[0],
+            }
+            concat_of[layer.name] = concat.name
+
+    if not piece_groups:
+        return {}, {}, set()
+
+    # pass 2: direct convs (and promotable 1x1s) whose input resolves to a
+    # root that already has a scatter group join that group's fused pass
+    for layer in graph.layers:
+        cls = _dense_conv_class(layer)
+        if cls is None or layer.name in dense_targets:
+            continue
+        root = root_of(layer.inputs[0])
+        group = piece_groups.get(root)
+        if not group or not any(t["in_off"] is not None for t in group):
+            continue  # only join groups anchored by concat-derived pieces
+        width = channels.get(root)
+        if width is None:
+            continue
+        group.append({
+            "conv": layer.name, "in_off": None, "width": width,
+            "n_out": layer.attr_i(0), "promote1x1": cls == "1x1",
+        })
+        dense_targets[layer.name] = {
+            "n_pieces": 1, "act": layer.attr_i(9, 0),
+            "act_params": layer.attr(10, [0.0]), "out": layer.outputs[0],
+        }
+
+    # only worthwhile when pieces actually share passes
+    total_pieces = sum(len(g) for g in piece_groups.values())
+    if total_pieces <= len(piece_groups):
+        return {}, {}, set()
+
+    # Concats whose only consumer was rewritten are never materialized
+    dead_layers = {
+        concat_of[name] for name in concat_of if name in dense_targets
+    }
+    return piece_groups, dense_targets, dead_layers
+
+
 def _pallas_fusable(layer: NcnnLayer) -> bool:
     """3x3 / stride 1 / dilation 1 / pad 1 convs with channel counts that
     map well onto MXU lanes qualify for the Pallas fused kernel
@@ -358,11 +550,12 @@ def _chain_eligible(layer: NcnnLayer) -> bool:
         and 0 < cin <= 128 and 0 < cout <= 128
 
 
-def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
+def _plan_pallas_fusion(graph: NcnnGraph, exclude=frozenset()) -> tuple[dict, set]:
     """Map conv layer name -> fused activation plan, and the set of layer
     names absorbed into a fused kernel (PReLUs, the SRVGG tail's
     PixelShuffle/Interp/Add when the whole tail fuses, and the members of
-    bordered-chain runs beyond the first)."""
+    bordered-chain runs beyond the first).  ``exclude``: convs already
+    claimed by the dense-scatter rewrite."""
     consumers: Dict[str, List[int]] = {}
     for idx, layer in enumerate(graph.layers):
         for b in layer.inputs:
@@ -371,7 +564,7 @@ def _plan_pallas_fusion(graph: NcnnGraph) -> tuple[dict, set]:
     plans: Dict[str, Dict[str, Any]] = {}
     absorbed: set = set()
     for idx, layer in enumerate(graph.layers):
-        if layer.type != "Convolution":
+        if layer.type != "Convolution" or layer.name in exclude:
             continue
         if not (_pallas_fusable(layer) or _chain_eligible(layer)):
             continue
@@ -537,6 +730,7 @@ def build_forward(
     pallas_conv: bool = False,
     emit_frames: bool = False,
     channel_order: str = "bgr",
+    dense_scatter: bool = True,
 ) -> Callable:
     """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
 
@@ -576,10 +770,25 @@ def build_forward(
     if len(output_blobs) != 1:
         raise ValueError(f"expected exactly one output blob, got {output_blobs}")
 
+    consumers_map: Dict[str, List[int]] = {}
+    for idx, layer in enumerate(graph.layers):
+        for b in layer.inputs:
+            consumers_map.setdefault(b, []).append(idx)
+
+    piece_groups: Dict[str, List[dict]] = {}
+    dense_targets: Dict[str, dict] = {}
+    dead_layers: set = set()
+    if dense_scatter:
+        piece_groups, dense_targets, dead_layers = _plan_dense_scatter(
+            graph, consumers_map
+        )
+
     fusion_plans: Dict[str, Any] = {}
     absorbed: set = set()
     if pallas_conv:
-        fusion_plans, absorbed = _plan_pallas_fusion(graph)
+        fusion_plans, absorbed = _plan_pallas_fusion(
+            graph, exclude=set(dense_targets)
+        )
 
     # last consumer index per blob, so traced intermediates are dropped as
     # soon as possible (keeps the Python-side blob dict small for the
@@ -662,21 +871,86 @@ def build_forward(
             x, p["weight"], bias, slope, act=act, out_dtype=compute_dtype,
         )
 
+    conv_precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
     def forward(params: Dict[str, Dict[str, jnp.ndarray]], x: jnp.ndarray) -> jnp.ndarray:
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
         blobs: Dict[str, jnp.ndarray] = {input_blobs[0]: x.astype(compute_dtype)}
+        # dense-scatter state: per-target lists of partial contributions
+        piece_bufs: Dict[str, List[jnp.ndarray]] = {}
+
+        def _run_scatter(blob: str) -> None:
+            """If ``blob`` is a dense-block source, compute its contribution
+            to every downstream conv in one wide-N fused conv pass."""
+            group = piece_groups.get(blob)
+            if not group:
+                return
+            x_src = blobs[blob].astype(compute_dtype)
+            ws = []
+            for t in group:
+                w = params[t["conv"]]["weight"]
+                if t["promote1x1"]:
+                    w = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+                if t["in_off"] is not None:
+                    w = w[:, :, t["in_off"]:t["in_off"] + t["width"], :]
+                ws.append(jnp.asarray(w, compute_dtype))
+            wcat = jnp.concatenate(ws, axis=-1) if len(ws) > 1 else ws[0]
+            y = jax.lax.conv_general_dilated(
+                x_src, wcat,
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+                precision=conv_precision,
+            )
+            off = 0
+            for t in group:
+                piece_bufs.setdefault(t["conv"], []).append(
+                    y[..., off:off + t["n_out"]]
+                )
+                off += t["n_out"]
+
+        _run_scatter(input_blobs[0])
         for i, layer in enumerate(graph.layers):
             if layer.type == "Input":
                 continue
             if layer.name in absorbed:
                 continue  # PReLU fused into the preceding Pallas conv
+            if layer.name in dead_layers:
+                # Concat consumed only by a scatter-rewritten conv: never
+                # materialize it (saves the 96..192-channel HBM buffer)
+                for b in layer.inputs:
+                    if last_use.get(b) == i and b in blobs:
+                        del blobs[b]
+                continue
+            if layer.name in dense_targets:
+                t = dense_targets[layer.name]
+                pieces = piece_bufs.pop(layer.name)
+                acc = pieces[0]
+                for extra in pieces[1:]:
+                    acc = acc + extra
+                p = params.get(layer.name, {})
+                if "bias" in p:
+                    acc = acc + p["bias"].astype(jnp.float32)
+                acc = _apply_activation(acc, t["act"], t["act_params"])
+                blobs[t["out"]] = acc.astype(compute_dtype)
+                _run_scatter(t["out"])
+                for b in layer.inputs:
+                    if last_use.get(b) == i and b in blobs:
+                        del blobs[b]
+                continue
             if layer.name in fusion_plans:
                 plan = fusion_plans[layer.name]
                 blobs[plan["out"]] = _run_pallas_conv(
                     layer, blobs[layer.inputs[0]], params, blobs
                 )
+                _run_scatter(plan["out"])
                 b_in = layer.inputs[0]
                 if last_use.get(b_in, -1) <= i + (1 if plan.get("prelu") else 0) \
                         and b_in in blobs and b_in != plan["out"]:
@@ -690,6 +964,9 @@ def build_forward(
                     blobs[name] = t
             else:
                 blobs[layer.outputs[0]] = out
+            if layer.type != "Split":  # split aliases are never roots
+                for b in layer.outputs:
+                    _run_scatter(b)
             for b in layer.inputs:
                 if last_use.get(b) == i and b in blobs:
                     del blobs[b]

@@ -213,6 +213,123 @@ def make_srvgg_graph(
     return NcnnGraph(layers=layers, blob_count=blob_count)
 
 
+def make_rrdb_graph(
+    scale: int = 4,
+    num_feat: int = 64,
+    num_grow: int = 32,
+    num_rrdb: int = 2,
+) -> NcnnGraph:
+    """Build an RRDBNet-architecture graph programmatically.
+
+    Mirrors the exact layer structure of ``4x_Valar_v1.param`` (ESRGAN
+    real-life model, reference upscale_processing.py:914): RRDB trunk of
+    ``num_rrdb`` blocks (3 residual-dense blocks each; every RDB is 5
+    dense 3x3 convs over growing concats + a 1x1 skip conv, residual
+    scale 0.2), trunk conv + global skip, then nearest-2x + conv
+    upsampling to ``scale``.  With ``num_rrdb=23`` this is layer-count
+    and FLOP-identical to the real Valar graph (modulo ncnn Split
+    bookkeeping layers, which this executor does not require).  Used for
+    hermetic dense-scatter tests and the Valar-family benchmark.
+    """
+    layers = [NcnnLayer("Input", "input", [], ["input"])]
+    uid = [0]
+
+    def conv(name, src, cin, cout, k=3, act=None):
+        # real graph: 3x3 convs carry bias (5=1), the 1x1 skips do not
+        attrs = {0: cout, 1: k, 6: cout * cin * k * k}
+        if k == 3:
+            attrs[4] = 1
+            attrs[5] = 1
+        if act is not None:
+            attrs[9] = 2
+            attrs[10] = [act]
+        out = f"b{uid[0]}"
+        uid[0] += 1
+        layers.append(NcnnLayer("Convolution", name, [src], [out], attrs))
+        return out
+
+    def cat(name, srcs):
+        out = f"b{uid[0]}"
+        uid[0] += 1
+        layers.append(NcnnLayer("Concat", name, list(srcs), [out], {0: 0}))
+        return out
+
+    def add(name, a, b):
+        out = f"b{uid[0]}"
+        uid[0] += 1
+        layers.append(NcnnLayer("BinaryOp", name, [a, b], [out], {0: 0}))
+        return out
+
+    def residual(name, body, skip):  # 0.2*body + skip
+        out = f"b{uid[0]}"
+        uid[0] += 1
+        layers.append(NcnnLayer(
+            "Eltwise", name, [body, skip], [out], {0: 1, 1: [0.2, 1.0]}
+        ))
+        return out
+
+    def rdb(tag, x0):
+        x1 = conv(f"{tag}_c1", x0, num_feat, num_grow, act=0.2)
+        c4 = conv(f"{tag}_c4", cat(f"{tag}_cat1", [x0, x1]),
+                  num_feat + num_grow, num_grow, act=0.2)
+        sk = conv(f"{tag}_c6", x0, num_feat, num_grow, k=1)
+        x2 = add(f"{tag}_a7", c4, sk)
+        x3 = conv(f"{tag}_c9", cat(f"{tag}_cat2", [x0, x1, x2]),
+                  num_feat + 2 * num_grow, num_grow, act=0.2)
+        c12 = conv(f"{tag}_c12", cat(f"{tag}_cat3", [x0, x1, x2, x3]),
+                   num_feat + 3 * num_grow, num_grow, act=0.2)
+        x4 = add(f"{tag}_a14", c12, x2)
+        c16 = conv(f"{tag}_c16", cat(f"{tag}_cat4", [x0, x1, x2, x3, x4]),
+                   num_feat + 4 * num_grow, num_feat)
+        return residual(f"{tag}_res", c16, x0)
+
+    fea = conv("conv_first", "input", 3, num_feat)
+    x = fea
+    for i in range(num_rrdb):
+        rin = x
+        for j in range(3):
+            x = rdb(f"r{i}d{j}", x)
+        x = residual(f"r{i}_res", x, rin)
+    trunk = conv("conv_trunk", x, num_feat, num_feat)
+    x = add("trunk_add", fea, trunk)
+    ups = 1
+    while ups < scale:
+        out = f"b{uid[0]}"
+        uid[0] += 1
+        layers.append(NcnnLayer(
+            "Interp", f"up{ups}", [x], [out], {0: 1, 1: 2.0, 2: 2.0}
+        ))
+        x = conv(f"conv_up{ups}", out, num_feat, num_feat, act=0.2)
+        ups *= 2
+    x = conv("conv_hr", x, num_feat, num_feat, act=0.2)
+    conv("conv_last", x, num_feat, 3)
+    layers[-1].outputs[0] = "output"
+    blob_count = len({b for l in layers for b in l.outputs})
+    return NcnnGraph(layers=layers, blob_count=blob_count)
+
+
+def make_synthetic_rrdb_model(
+    scale: int = 4,
+    num_feat: int = 64,
+    num_grow: int = 32,
+    num_rrdb: int = 2,
+    seed: int = 0,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Model:
+    """An RRDBNet (Valar-family) model with random weights (bench/tests)."""
+    graph = make_rrdb_graph(
+        scale=scale, num_feat=num_feat, num_grow=num_grow, num_rrdb=num_rrdb
+    )
+    params = synthesize_weights(graph, seed=seed)
+    return Model(
+        name=f"synthetic_{scale}x_rrdb{num_rrdb}",
+        scale=scale,
+        graph=graph,
+        params=params,
+        compute_dtype=compute_dtype,
+    )
+
+
 def make_synthetic_model(
     scale: int = 2,
     num_conv: int = 16,

@@ -149,7 +149,7 @@ def _chain_step(src, dst, layer: ChainLayer, th, tw, valid_h, valid_w,
             pl.BlockSpec((1, layer.cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (th, tw, LANES), lambda i, j: (i + 1, j + 1, 0),

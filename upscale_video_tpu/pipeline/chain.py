@@ -89,6 +89,8 @@ class ChainEngine:
     tile: int = 0  # 0 = whole-frame
     halo: int = 16
     channel_order: str = "bgr"
+    kernel_impl: str = "auto"  # the build()-time conv_impl knob, kept for
+    # ops with both XLA and Pallas backends beyond convs (denoise)
     _step: Callable = field(default=None, repr=False)
 
     @classmethod
@@ -107,14 +109,17 @@ class ChainEngine:
         upscale_processing.py:888-920).  ``synthetic=True`` builds
         random-weight Compact stand-ins (benchmarks, tests).
 
-        ``conv_impl``: 'xla' | 'pallas' | 'auto'.  Auto picks per model
-        family from profiler-measured device times (NOTES.md): XLA's conv
-        fusion is near-optimal for the 64-channel Compact nets, while the
-        fused Pallas kernels are ~18% faster for Valar's narrow-channel
-        RRDB blocks."""
+        ``conv_impl``: 'xla' | 'pallas' | 'auto' — the kernel backend for
+        every op with both implementations (convs AND the NL-means
+        denoise).  Auto picks per op from measured device times
+        (NOTES.md): XLA convs win both model families — Compact's 64-ch
+        fusions are near-optimal, and Valar rides the dense-scatter graph
+        rewrite (executor._plan_dense_scatter, 1.76x) where mixing in
+        Pallas solo kernels regresses 4x (custom-call layout boundaries);
+        denoise measured a tie (NOTES.md) so auto stays on XLA there."""
         scale = spec.effective_scale(scale)
         if conv_impl == "auto":
-            pallas_conv = spec.real_life
+            pallas_conv = False  # measured: NOTES.md round-2 Valar A/B
         else:
             pallas_conv = conv_impl == "pallas"
         anime_model = None
@@ -128,21 +133,59 @@ class ChainEngine:
             anime_model.pallas_conv = pallas_conv
         if scale > 1:
             if synthetic:
-                sr_model = make_synthetic_model(scale=scale, compute_dtype=compute_dtype)
+                if spec.real_life:
+                    from upscale_video_tpu.models.zoo import (
+                        make_synthetic_rrdb_model,
+                    )
+
+                    # architecture-faithful Valar stand-in (23 RRDBs)
+                    sr_model = make_synthetic_rrdb_model(
+                        scale=scale, num_rrdb=23, compute_dtype=compute_dtype
+                    )
+                else:
+                    sr_model = make_synthetic_model(
+                        scale=scale, compute_dtype=compute_dtype
+                    )
             else:
                 role = "valar" if spec.real_life else "compact"
                 sr_model = load_model(role, scale, model_path, compute_dtype)
             sr_model.pallas_conv = pallas_conv
         return cls(
             spec=spec, scale=scale, sr_model=sr_model, anime_model=anime_model,
-            tile=tile, halo=halo,
+            tile=tile, halo=halo, kernel_impl=conv_impl,
         )
+
+    def _denoise(self, x: jnp.ndarray) -> jnp.ndarray:
+        """NL-means over the frame batch, backend per ``conv_impl``.
+
+        'pallas' runs ops/nlmeans_pallas.py (one haloed VMEM tile, all 81
+        search offsets in-register, ~1.3x-frame HBM traffic) with a static
+        per-frame unroll (HBM pallas operands cannot be vmapped); 'xla'
+        runs the lax.scan formulation (81 fused passes, each re-reading
+        the frame).  'auto' follows the measured winner (NOTES.md denoise
+        A/B).  Both match the reference's cv2.fastNlMeansDenoisingColored
+        geometry (upscale_processing.py:350-361)."""
+        h = jnp.float32(self.spec.denoise)
+        impl = self.kernel_impl
+        if impl == "auto":
+            impl = "xla"  # TPU A/B tie (10.5 vs 10.8 ms/frame @1080p) —
+            # see NOTES.md round-2 denoise section
+        if impl == "pallas":
+            from upscale_video_tpu.ops.nlmeans_pallas import (
+                nl_means_denoise_pallas,
+            )
+
+            interpret = jax.default_backend() != "tpu"
+            return jnp.stack([
+                nl_means_denoise_pallas(x[i], h, interpret=interpret)
+                for i in range(x.shape[0])
+            ])
+        return jax.vmap(lambda im: nl_means_denoise(im, h))(x)
 
     def _model_stack(self, x: jnp.ndarray) -> jnp.ndarray:
         """Float model-domain chain: denoise -> anime -> SR (batched NHWC)."""
         if self.spec.denoise:
-            h = jnp.float32(self.spec.denoise)
-            x = jax.vmap(lambda im: nl_means_denoise(im, h))(x)
+            x = self._denoise(x)
         if self.anime_model is not None:
             x = self.anime_model.forward(self.anime_model.params, x)
         if self.sr_model is not None:
@@ -195,8 +238,7 @@ class ChainEngine:
         def _step(frames_u8):
             x = frames_to_model(frames_u8, order)
             if self.spec.denoise:
-                h = jnp.float32(self.spec.denoise)
-                x = jax.vmap(lambda im: nl_means_denoise(im, h))(x)
+                x = self._denoise(x)
             if self.anime_model is not None:
                 x = self.anime_model.forward(self.anime_model.params, x)
             if self.sr_model is not None:
@@ -314,12 +356,10 @@ class ChainEngine:
         if stage == "denoise":
             if not self.spec.denoise:
                 raise ValueError("chain has no denoise stage")
-            h = jnp.float32(self.spec.denoise)
 
             def _fn(frames_u8):
                 x = frames_to_model(frames_u8, order)
-                y = jax.vmap(lambda im: nl_means_denoise(im, h))(x)
-                return model_to_frames(y, order)
+                return model_to_frames(self._denoise(x), order)
 
         elif stage == "anime":
             if self.anime_model is None:
