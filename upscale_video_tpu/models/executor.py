@@ -909,6 +909,11 @@ def build_forward(
                 preferred_element_type=jnp.float32,
                 precision=conv_precision,
             )
+            # pieces are stored in compute_dtype: in bf16 mode this halves
+            # the piece-buffer HBM traffic (the dominant non-MXU cost at
+            # large tiles — 480px A/B in NOTES.md); accumulation upcasts
+            # back to f32 so only one extra rounding per piece is added.
+            y = y.astype(compute_dtype)
             off = 0
             for t in group:
                 piece_bufs.setdefault(t["conv"], []).append(
@@ -932,9 +937,9 @@ def build_forward(
             if layer.name in dense_targets:
                 t = dense_targets[layer.name]
                 pieces = piece_bufs.pop(layer.name)
-                acc = pieces[0]
+                acc = pieces[0].astype(jnp.float32)
                 for extra in pieces[1:]:
-                    acc = acc + extra
+                    acc = acc + extra.astype(jnp.float32)
                 p = params.get(layer.name, {})
                 if "bias" in p:
                     acc = acc + p["bias"].astype(jnp.float32)
