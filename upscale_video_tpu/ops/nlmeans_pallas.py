@@ -77,11 +77,17 @@ def _nlm_kernel(h_ref, x_hbm, out_ref, win, sem, *, th: int, tw: int):
         # across unrolled iterations, so 81 unrolled bodies OOM the stack.
         # Dynamic vector loads are illegal, so the shifted window is
         # produced by dynamic *rotates* + static slices instead.
+        # Shifts must be NON-NEGATIVE: Mosaic rejects negative static
+        # shifts at trace time but silently miscompiles negative *traced*
+        # shifts on hardware (observed as all-81-weights underflow at ~2%
+        # of pixels -> 0/0 NaNs; interpret mode masks it) — so roll by the
+        # modular complement instead of -dy.
         num, den = carry
         dy = k // N_OFF
         dx = k % N_OFF
-        rolled = pltpu.roll(ext, -dy, axis=1)
-        rolled = pltpu.roll(rolled, -dx, axis=2)
+        h_sz, w_sz = ext.shape[1], ext.shape[2]
+        rolled = pltpu.roll(ext, (h_sz - dy) % h_sz, axis=1)
+        rolled = pltpu.roll(rolled, (w_sz - dx) % w_sz, axis=2)
         # the wrap-around rows/cols land beyond the slice we read
         sh = rolled[:, oy : oy + th + 2 * pr, ox : ox + tw + 2 * pr]
         diff2 = jnp.mean((base - sh) ** 2, axis=0)  # (th+4, tw+4)
