@@ -81,8 +81,17 @@ def run_device_mode(args) -> float:
     import numpy as np
 
     engine = make_engine(args)
-    step_fn = engine.raw_step
     scale = engine.scale
+    planar = engine.planar_scale
+    if planar:
+        # the program the stream plane actually dispatches: shuffle-planar
+        # uint8 output, host interleave on the sink thread (overlapped —
+        # pipeline mode times it included)
+        step_fn = engine.raw_planar_step
+        link = lambda y: y[:, :, :, :3]  # noqa: E731 — plane (0,0), RGB
+    else:
+        step_fn = engine.raw_step
+        link = lambda y: y[:, ::scale, ::scale, :]  # noqa: E731
 
     rng = np.random.default_rng(0)
     x = rng.integers(
@@ -94,7 +103,7 @@ def run_device_mode(args) -> float:
         def chained(v):
             def body(i, u):
                 y = step_fn(u)  # uint8 -> uint8, the pipeline's program
-                return y[:, ::scale, ::scale, :]  # dependent next input
+                return link(y)  # dependent next input
 
             out = jax.lax.fori_loop(0, K, body, v)
             return jnp.sum(out.astype(jnp.uint32))

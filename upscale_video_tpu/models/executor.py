@@ -723,6 +723,44 @@ def _match_srvgg_tail(graph: NcnnGraph, consumers, conv_idx: int):
     }
 
 
+def _planar_tail_u8(t: jnp.ndarray, skip: jnp.ndarray, s: int,
+                    channel_order: str) -> jnp.ndarray:
+    """SRVGG tail in *shuffle-planar* form: NO pixel shuffle on device.
+
+    The reference-order tail (PixelShuffle -> nearest-Interp skip -> Add ->
+    *255/round/clamp, upscale_processing.py:284-288) makes XLA materialize
+    relayout copies of the FULL-RES tensor — ~6.5 ms/frame at 1080p->4K in
+    bf16, 14 ms in uint8 (both measured) — running at ~1% of HBM bandwidth
+    because the interleave crosses (8,128) tile boundaries with a 3-wide
+    minor dim.  The interleave is hostile to ANY tiled-layout device; so
+    it leaves the device entirely:
+
+    - the skip add happens in the (3*s^2)-channel low-res domain (nearest
+      x-s upsample of the skip == repeating each skip channel s^2 times);
+    - channels are permuted from ncnn shuffle order ``(c, i, j)`` to
+      planar order ``(i, j, c)`` with the BGR->RGB flip folded in — a
+      minor-dim gather that fuses into the quantize epilogue;
+    - output is uint8 ``(N, H, W, 3*s*s)``: plane ``(i, j)`` holds the
+      output's stride-s subgrid at offset (i, j), exactly
+      ``ops.pixel.planar_to_frames``'s input.  The host interleaves on the
+      sink thread (C-contiguous strides, overlapped with device compute).
+
+    Elementwise-only + permutation => bit-identical to the reference-order
+    epilogue after host interleave (tested).
+    """
+    s2 = s * s
+    y = t + jnp.repeat(skip.astype(t.dtype), s2, axis=-1)
+    idx = []
+    for i in range(s):
+        for j in range(s):
+            for c in range(3):
+                cm = 2 - c if channel_order == "bgr" else c
+                idx.append(cm * s2 + i * s + j)
+    y = y[..., np.asarray(idx)]
+    y = jnp.clip(jnp.round(y.astype(jnp.float32) * 255.0), 0.0, 255.0)
+    return y.astype(jnp.uint8)
+
+
 def build_forward(
     graph: NcnnGraph,
     compute_dtype: Any = jnp.bfloat16,
@@ -731,6 +769,7 @@ def build_forward(
     emit_frames: bool = False,
     channel_order: str = "bgr",
     dense_scatter: bool = True,
+    planar_tail: bool = False,
 ) -> Callable:
     """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
 
@@ -744,6 +783,15 @@ def build_forward(
     BGR->RGB flip for ``channel_order='bgr'``) fuses into the Pallas tail
     kernel when the graph's tail is chain-fused, and into XLA otherwise —
     either way the caller skips ``model_to_frames``.
+
+    ``planar_tail=True`` (with ``emit_frames``) additionally requests the
+    *shuffle-planar* contract: when the graph tail matches the SRVGG
+    pattern, output is uint8 ``(N, H, W, 3*s*s)`` in ``(i, j, c)`` plane
+    order and the pixel-shuffle interleave is left to the host
+    (``ops.pixel.planar_to_frames``) — the interleave costs ~6.5 ms/frame
+    of device relayout at 4K but is a single C-contiguous pass on CPU.
+    The returned function carries ``planar_scale`` (the shuffle factor,
+    or None when the tail didn't match and the output is ordinary frames).
     """
     unsupported = sorted(
         {l.type for l in graph.layers if l.type not in OP_REGISTRY}
@@ -789,6 +837,24 @@ def build_forward(
         fusion_plans, absorbed = _plan_pallas_fusion(
             graph, exclude=set(dense_targets)
         )
+
+    # Shuffle-planar output contract (emit-frames only): the SRVGG tail's
+    # pixel shuffle never runs on device — see _planar_tail_u8.  The Pallas
+    # path has its own fused tail kernel.
+    xla_tail: Dict[str, Any] | None = None
+    if emit_frames and planar_tail and not pallas_conv:
+        for idx, layer in enumerate(graph.layers):
+            if layer.type != "Convolution" or layer.name in dense_targets:
+                continue
+            t = _match_srvgg_tail(graph, consumers_map, idx)
+            if (
+                t is not None
+                and t["out"] == output_blobs[0]
+                and not consumers_map.get(t["out"])
+            ):
+                xla_tail = dict(t, conv=layer.name)
+                absorbed = absorbed | t["absorbed"]
+                break
 
     # last consumer index per blob, so traced intermediates are dropped as
     # soon as possible (keeps the Python-side blob dict small for the
@@ -950,6 +1016,19 @@ def build_forward(
                     if last_use.get(b) == i and b in blobs:
                         del blobs[b]
                 continue
+            if xla_tail is not None and layer.name == xla_tail["conv"]:
+                t_out = _op_convolution(
+                    layer, [blobs[layer.inputs[0]]],
+                    params.get(layer.name, {}), compute_dtype,
+                )
+                blobs[xla_tail["out"]] = _planar_tail_u8(
+                    t_out, blobs[xla_tail["skip_blob"]],
+                    xla_tail["scale"], channel_order,
+                )
+                for b in layer.inputs:
+                    if last_use.get(b) == i and b in blobs:
+                        del blobs[b]
+                continue
             if layer.name in fusion_plans:
                 plan = fusion_plans[layer.name]
                 blobs[plan["out"]] = _run_pallas_conv(
@@ -985,4 +1064,5 @@ def build_forward(
             y = y.astype(output_dtype)
         return y[0] if squeeze else y
 
+    forward.planar_scale = xla_tail["scale"] if xla_tail is not None else None
     return forward

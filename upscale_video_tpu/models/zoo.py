@@ -77,20 +77,32 @@ class Model:
             )
         return self._forward
 
-    def frames_forward(self, channel_order: str = "bgr") -> Callable:
+    def frames_forward(
+        self, channel_order: str = "bgr", planar: bool = False
+    ) -> Callable:
         """``forward`` variant emitting display-ready uint8 RGB frames:
         the requantization epilogue fuses into the Pallas tail kernel when
         the graph tail is chain-fused, into XLA otherwise (so the pipeline
-        never pays a separate x255/round/flip pass over the 4K output)."""
+        never pays a separate x255/round/flip pass over the 4K output).
+
+        ``planar=True`` requests the shuffle-planar contract (the device
+        skips the pixel-shuffle interleave; see executor._planar_tail_u8):
+        the returned fn's ``planar_scale`` attr is the shuffle factor, or
+        None when the graph tail didn't match (output is ordinary frames).
+        """
         if self._frames_forward is None:
-            self._frames_forward = build_forward(
+            self._frames_forward = {}
+        key = (channel_order, planar)
+        if key not in self._frames_forward:
+            self._frames_forward[key] = build_forward(
                 self.graph,
                 compute_dtype=self.compute_dtype,
                 pallas_conv=self.pallas_conv,
                 emit_frames=True,
                 channel_order=channel_order,
+                planar_tail=planar,
             )
-        return self._frames_forward
+        return self._frames_forward[key]
 
     @property
     def jitted(self) -> Callable:

@@ -74,10 +74,16 @@ class PrefetchSource(FrameSource):
 
 
 class AsyncSink(FrameSink):
-    """Writer-thread wrapper around any FrameSink (ordered, bounded)."""
+    """Writer-thread wrapper around any FrameSink (ordered, bounded).
 
-    def __init__(self, inner: FrameSink, depth: int = 8):
+    ``transform`` (optional) runs on the writer thread per frame before the
+    inner write — the hook the stream plane uses for the shuffle-planar
+    host interleave (ops/pixel.planar_to_frames), so that CPU work overlaps
+    device compute instead of stalling dispatch."""
+
+    def __init__(self, inner: FrameSink, depth: int = 8, transform=None):
         self.inner = inner
+        self._transform = transform
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -91,6 +97,8 @@ class AsyncSink(FrameSink):
             if self._err is not None:
                 continue  # drain without writing after an error
             try:
+                if self._transform is not None:
+                    item = self._transform(item)
                 self.inner.write(item)
             except BaseException as e:
                 self._err = e

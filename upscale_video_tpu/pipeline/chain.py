@@ -92,6 +92,7 @@ class ChainEngine:
     kernel_impl: str = "auto"  # the build()-time conv_impl knob, kept for
     # ops with both XLA and Pallas backends beyond convs (denoise)
     _step: Callable = field(default=None, repr=False)
+    _planar_step: Callable = field(default=None, repr=False)
 
     @classmethod
     def build(
@@ -251,6 +252,48 @@ class ChainEngine:
 
         return _step
 
+    @property
+    def planar_scale(self) -> Optional[int]:
+        """Shuffle factor of the *shuffle-planar* output contract, or None.
+
+        When set (whole-frame XLA path, SRVGG-tail SR model), the stream
+        plane runs :attr:`planar_step` — the device emits uint8
+        ``(N, H, W, 3*s*s)`` planes and skips the pixel-shuffle interleave
+        (~6.5 ms/frame of hostile relayout at 4K, measured); the sink
+        thread interleaves with ``ops.pixel.planar_to_frames`` where it
+        overlaps device compute.  None = use :attr:`step` (ordinary
+        full-frame contract: tiled path, Valar's Interp tail, scale-1,
+        or the Pallas kernel path, which fuses its own tail)."""
+        if self.sr_model is None or self.tile:
+            return None
+        fn = self.sr_model.frames_forward(self.channel_order, planar=True)
+        return getattr(fn, "planar_scale", None)
+
+    @property
+    def planar_step(self) -> Callable:
+        """Jitted uint8 (N,H,W,3) -> uint8 (N,H,W,3*s*s) planar program
+        (same mesh/sharding policy as :attr:`step`)."""
+        if self._planar_step is None:
+            self._planar_step = self._finalize(self.raw_planar_step)
+        return self._planar_step
+
+    @property
+    def raw_planar_step(self) -> Callable:
+        """Un-jitted planar-contract step (see :attr:`planar_scale`)."""
+        order = self.channel_order
+
+        def _step(frames_u8):
+            x = frames_to_model(frames_u8, order)
+            if self.spec.denoise:
+                x = self._denoise(x)
+            if self.anime_model is not None:
+                x = self.anime_model.forward(self.anime_model.params, x)
+            return self.sr_model.frames_forward(order, planar=True)(
+                self.sr_model.params, x
+            )
+
+        return _step
+
     def _finalize(self, fn: Callable) -> Callable:
         """jit ``fn`` with whatever mesh :meth:`use_chips` selected: ``dp``
         shards the frame batch, ``sp`` shards each frame's H axis (the fused
@@ -315,6 +358,7 @@ class ChainEngine:
             self._mesh = make_mesh({axis: len(devices)}, devices=devices)
             self._mesh_mode = mode
             self._step = None  # rebuild with sharding
+            self._planar_step = None
         return multiplier
 
     def configure_chips(

@@ -263,6 +263,20 @@ def _run_stream_plane(
         log.info("resume: %d fragments done, seeking to frame %d",
                  first_todo - 1, start_frame)
 
+    # shuffle-planar contract: the device skips the pixel-shuffle
+    # interleave (hostile relayout, ~6.5 ms/frame at 4K); the sink thread
+    # interleaves instead (overlapped with device compute)
+    planar = engine.planar_scale
+    if planar:
+        from upscale_video_tpu.ops.pixel import planar_to_frames
+
+        step_fn = engine.planar_step
+        transform = lambda p: planar_to_frames(p, planar)  # noqa: E731
+        log.info("planar output contract active (s=%d)", planar)
+    else:
+        step_fn = engine.step
+        transform = None
+
     source = PrefetchSource(
         backend.open_source(input_file, info, crop, start_frame=start_frame),
         depth=2 * frames_per_step,
@@ -282,8 +296,9 @@ def _run_stream_plane(
             sink = AsyncSink(
                 backend.open_fragment_sink(batch, out_w, out_h, info, workdir),
                 depth=2 * frames_per_step,
+                transform=transform,
             )
-            stepper = BatchedStepper(engine.step, frames_per_step)
+            stepper = BatchedStepper(step_fn, frames_per_step)
             wrote = 0
             try:
                 try:

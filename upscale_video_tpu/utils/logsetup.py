@@ -30,6 +30,8 @@ def setup_logging(
         force=True,
     )
     if log_dir and input_name:
+        os.makedirs(log_dir, exist_ok=True)  # reference crashes on a
+        # missing -d dir (FileHandler at upscale_processing.py:801-807)
         base = os.path.basename(input_name)
         stem = base.rsplit(".", 1)[0] if "." in base else base
         fh = logging.FileHandler(os.path.join(log_dir, stem + ".log"))
