@@ -150,15 +150,20 @@ def test_conv_impl_auto_selection():
 def test_tiled_engine_with_pallas_convs(rng):
     """tile_size + conv_impl=pallas (the HBM-bounded Valar path at high
     resolutions): must match the whole-frame XLA engine away from borders."""
+    from upscale_video_tpu.models.zoo import make_synthetic_model
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
-    ref = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
-                            compute_dtype=jnp.bfloat16, conv_impl="xla")
-    tiled = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
-                              compute_dtype=jnp.bfloat16, conv_impl="pallas",
-                              tile=16, halo=18)
-    assert tiled.sr_model.pallas_conv  # f32 would downgrade to XLA
-    frames = rng.integers(0, 256, (2, 40, 48, 3), dtype=np.uint8)
+    # small model (4 convs, 32 feat): interpret-mode Pallas over tiles is
+    # ~10x the cost of the ops under test at full synthetic size
+    def small():
+        return make_synthetic_model(num_conv=3, num_feat=32,
+                                    compute_dtype=jnp.bfloat16)
+
+    ref = ChainEngine(spec=ChainSpec(), scale=2, sr_model=small())
+    tiled = ChainEngine(spec=ChainSpec(), scale=2, sr_model=small(),
+                        tile=16, halo=18, kernel_impl="pallas")
+    tiled.sr_model.pallas_conv = True
+    frames = rng.integers(0, 256, (1, 40, 48, 3), dtype=np.uint8)
     a = ref.process(frames)
     b = tiled.process(frames)
     m = 2 * 18

@@ -186,6 +186,22 @@ class TestPipeSink:
         np.testing.assert_array_equal(first, expected_frame(0))
 
 
+def _small_engine():
+    """A tiny prebuilt engine: these tests exercise ORCHESTRATION over the
+    fake ffmpeg binary; the default 17-conv synthetic model spends ~10s/test
+    on CPU compiles that prove nothing extra."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.models.zoo import make_synthetic_model
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    return ChainEngine(
+        spec=ChainSpec(), scale=2,
+        sr_model=make_synthetic_model(num_conv=2, num_feat=16,
+                                      compute_dtype=jnp.float32),
+    )
+
+
 class TestFfmpegBackendPipeline:
     def test_process_file_stream_plane(self, fake_ffmpeg, tmp_path):
         """Full orchestration over the ffmpeg backend: probe -> cropdetect
@@ -200,6 +216,7 @@ class TestFfmpegBackendPipeline:
             str(src), output_file=out, ffmpeg=fake_ffmpeg,
             scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
             synthetic_models=True, precision="f32", frames_per_step=4,
+            engine=_small_engine(),
         )
         assert res.frames_processed == N
         data = open(out, "rb").read()
@@ -226,7 +243,7 @@ class TestFfmpegBackendPipeline:
             output_file=out, ffmpeg=fake_ffmpeg, scale=2,
             temp_dir=str(tmp_path / "t"), batch_size=-3,
             synthetic_models=True, precision="f32", frames_per_step=2,
-            resume_processing=True,
+            resume_processing=True, engine=_small_engine(),
         )
         process_file(str(src), **kw)
         full = open(out, "rb").read()
@@ -265,7 +282,7 @@ def test_copy_audio_muxes(fake_ffmpeg, tmp_path):
     res = process_file(
         str(src), output_file=out, ffmpeg=fake_ffmpeg, scale=2,
         temp_dir=str(tmp_path / "t"), synthetic_models=True,
-        precision="f32", copy_audio=True,
+        precision="f32", copy_audio=True, engine=_small_engine(),
     )
     assert res.frames_processed == N
     data = open(out, "rb").read()
