@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstddef>
 #include <cstdint>
+#include <cstring>
 #include <thread>
 #include <vector>
 
@@ -94,6 +95,41 @@ void imgproc_ycbcr444_to_rgb(const uint8_t *y, const uint8_t *cb,
   parallel_for(npix, threads, [&](int64_t b, int64_t e) {
     rows_ycc_to_rgb(y, cb, cr, rgb, b, e);
   });
+}
+
+// Shuffle-planar uint8 (H, W, 3*s*s) in (i, j, c) plane order ->
+// interleaved RGB24 (H*s, W*s, 3).  The TPU device program skips this
+// pixel-shuffle interleave (it crosses tiled-layout boundaries at ~1% of
+// HBM bandwidth there — models/executor.py:_planar_tail_u8); on the host
+// it is pure strided memcpy: for output row (h, i), each input pixel
+// contributes s*3 contiguous bytes from plane offset i*s*3.
+void imgproc_planar_interleave(const uint8_t *p, uint8_t *out, int64_t h_lr,
+                               int64_t w_lr, int s, int threads) {
+  const int64_t in_px = 3LL * s * s;   // bytes per input pixel
+  const int64_t chunk = 3LL * s;       // bytes one input pixel puts in a row
+  const int64_t out_row = w_lr * chunk;
+  const int64_t rows = h_lr * s;
+  auto work = [&](int64_t rb, int64_t re) {
+    for (int64_t r = rb; r < re; ++r) {
+      const int64_t h = r / s, i = r % s;
+      const uint8_t *src = p + h * w_lr * in_px + i * chunk;
+      uint8_t *dst = out + r * out_row;
+      for (int64_t w = 0; w < w_lr; ++w)
+        std::memcpy(dst + w * chunk, src + w * in_px, chunk);
+    }
+  };
+  if (threads <= 1 || rows < 64) {
+    work(0, rows);
+    return;
+  }
+  std::vector<std::thread> pool;
+  const int64_t per = (rows + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t b = t * per, e = std::min(rows, b + per);
+    if (b >= e) break;
+    pool.emplace_back([=] { work(b, e); });
+  }
+  for (auto &th : pool) th.join();
 }
 
 }  // extern "C"

@@ -178,3 +178,34 @@ class TestImgproc:
         got = imgproc.rgb_to_ycbcr444(np.ascontiguousarray(grid))
         want = _rgb_to_ycbcr_full(grid).transpose(2, 0, 1)
         np.testing.assert_array_equal(got, want)
+
+
+class TestPlanarInterleave:
+    def test_matches_numpy_path(self, rng):
+        """Native strided-memcpy interleave == the numpy transpose path
+        (the host half of the shuffle-planar output contract)."""
+        from upscale_video_tpu.native import imgproc
+
+        if not imgproc.native_available():
+            pytest.skip("no compiler")
+        for s, (h, w) in [(2, (9, 14)), (4, (5, 6)), (2, (48, 64))]:
+            p = rng.integers(0, 256, (h, w, 3 * s * s), dtype=np.uint8)
+            want = np.ascontiguousarray(
+                p.reshape(h, w, s, s, 3).transpose(0, 2, 1, 3, 4)
+            ).reshape(h * s, w * s, 3)
+            got = imgproc.planar_interleave(p, s)
+            np.testing.assert_array_equal(got, want)
+
+    def test_routed_through_planar_to_frames(self, rng):
+        """ops.pixel.planar_to_frames picks the native path for uint8 RGB
+        planes and stays bit-identical to the numpy fallback."""
+        from upscale_video_tpu.ops.pixel import planar_to_frames
+
+        p = rng.integers(0, 256, (2, 6, 10, 12), dtype=np.uint8)
+        got = planar_to_frames(p, 2)
+        want = np.stack([
+            np.ascontiguousarray(
+                f.reshape(6, 10, 2, 2, 3).transpose(0, 2, 1, 3, 4)
+            ).reshape(12, 20, 3) for f in p
+        ])
+        np.testing.assert_array_equal(got, want)

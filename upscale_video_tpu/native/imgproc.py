@@ -79,6 +79,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         lib.imgproc_ycbcr444_to_rgb.argtypes = [
             u8p, u8p, u8p, u8p, ctypes.c_int64, ctypes.c_int
         ]
+        lib.imgproc_planar_interleave.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -120,5 +124,24 @@ def ycbcr444_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     lib.imgproc_ycbcr444_to_rgb(
         _u8p(y), _u8p(cb), _u8p(cr), _u8p(out),
         y.size, threads or _DEF_THREADS,
+    )
+    return out
+
+
+def planar_interleave(p: np.ndarray, s: int, threads: int = 0) -> np.ndarray:
+    """Shuffle-planar uint8 (H, W, 3*s*s) in (i, j, c) plane order ->
+    interleaved (H*s, W*s, 3) RGB — the host half of the shuffle-planar
+    output contract (ops/pixel.planar_to_frames routes here when the
+    native library is available; pure byte moves, bit-exact by construction
+    and parity-tested against the numpy path)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native imgproc unavailable (no compiler)")
+    p = np.ascontiguousarray(p, dtype=np.uint8)
+    h, w, c = p.shape
+    assert c == 3 * s * s, (p.shape, s)
+    out = np.empty((h * s, w * s, 3), np.uint8)
+    lib.imgproc_planar_interleave(
+        _u8p(p), _u8p(out), h, w, s, threads or _DEF_THREADS,
     )
     return out
