@@ -147,6 +147,21 @@ def test_conv_impl_auto_selection():
     assert valar.sr_model.graph.count_types()["Concat"] == 276
 
 
+def test_build_wires_pallas_and_tiling():
+    """ChainEngine.build must deliver conv_impl='pallas' + tile settings to
+    the model (the flag plumbing the numeric test below bypasses), and the
+    documented f32 downgrade must NOT fire in bf16."""
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    eng = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                            compute_dtype=jnp.bfloat16, conv_impl="pallas",
+                            tile=16, halo=18)
+    assert eng.sr_model.pallas_conv
+    assert (eng.tile, eng.halo) == (16, 18)
+    assert eng.kernel_impl == "pallas"
+    assert eng.planar_scale is None  # pallas path fuses its own tail
+
+
 def test_tiled_engine_with_pallas_convs(rng):
     """tile_size + conv_impl=pallas (the HBM-bounded Valar path at high
     resolutions): must match the whole-frame XLA engine away from borders."""

@@ -25,7 +25,7 @@ Interp/BinaryOp) and RRDBNet (4x_Valar_v1: + Concat/Eltwise, 1206 layers).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -723,6 +723,32 @@ def _match_srvgg_tail(graph: NcnnGraph, consumers, conv_idx: int):
     }
 
 
+def probe_srvgg_tail(graph: NcnnGraph) -> Optional[int]:
+    """Cheap check whether ``graph`` ends in the SRVGG shuffle tail (the
+    planar-contract precondition): returns the shuffle factor or None.
+
+    Runs only the consumers-map + tail pattern scan — callers asking "is
+    the planar contract available?" (pipeline/chain.py:planar_scale) must
+    not pay for a full ``build_forward`` planning pass (dense-scatter
+    analysis over Valar's 2127 blobs) just to learn the answer is no.
+    """
+    outputs = graph.output_blobs
+    if len(graph.input_blobs) != 1 or len(outputs) != 1:
+        return None
+    consumers: Dict[str, List[int]] = {}
+    for idx, layer in enumerate(graph.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(idx)
+    for idx, layer in enumerate(graph.layers):
+        if layer.type != "Convolution":
+            continue
+        t = _match_srvgg_tail(graph, consumers, idx)
+        if t is not None and t["out"] == outputs[0] \
+                and not consumers.get(t["out"]):
+            return t["scale"]
+    return None
+
+
 def _planar_tail_u8(t: jnp.ndarray, skip: jnp.ndarray, s: int,
                     channel_order: str) -> jnp.ndarray:
     """SRVGG tail in *shuffle-planar* form: NO pixel shuffle on device.
@@ -745,8 +771,10 @@ def _planar_tail_u8(t: jnp.ndarray, skip: jnp.ndarray, s: int,
       ``ops.pixel.planar_to_frames``'s input.  The host interleaves on the
       sink thread (C-contiguous strides, overlapped with device compute).
 
-    Elementwise-only + permutation => bit-identical to the reference-order
-    epilogue after host interleave (tested).
+    Elementwise-only + permutation => identical to the reference-order
+    epilogue after host interleave: bit-exact in f32; <=1 u8 LSB in bf16
+    (XLA's excess-precision pass may elide the f32->bf16->f32 convert pair
+    around the skip add differently between the formulations).  Tested.
     """
     s2 = s * s
     y = t + jnp.repeat(skip.astype(t.dtype), s2, axis=-1)

@@ -64,7 +64,10 @@ class Model:
     compute_dtype: Any = jnp.bfloat16
     pallas_conv: bool = False  # fused Pallas conv3x3 kernels (ops/conv_pallas)
     _forward: Callable = field(default=None, repr=False)
-    _frames_forward: Callable = field(default=None, repr=False)
+    # cache of emit-frames forwards keyed by (channel_order, planar)
+    _frames_forward: Optional[Dict[Any, Callable]] = field(
+        default=None, repr=False
+    )
     _jitted: Callable = field(default=None, repr=False)
 
     @property

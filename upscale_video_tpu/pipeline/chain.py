@@ -183,12 +183,18 @@ class ChainEngine:
             ])
         return jax.vmap(lambda im: nl_means_denoise(im, h))(x)
 
-    def _model_stack(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Float model-domain chain: denoise -> anime -> SR (batched NHWC)."""
+    def _prelude(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The pre-SR stages (denoise -> anime) shared by every step
+        variant — the one place the stage chain's order lives."""
         if self.spec.denoise:
             x = self._denoise(x)
         if self.anime_model is not None:
             x = self.anime_model.forward(self.anime_model.params, x)
+        return x
+
+    def _model_stack(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Float model-domain chain: denoise -> anime -> SR (batched NHWC)."""
+        x = self._prelude(x)
         if self.sr_model is not None:
             if self.tile:
                 x = self._tiled_sr(x)
@@ -237,11 +243,7 @@ class ChainEngine:
         order = self.channel_order
 
         def _step(frames_u8):
-            x = frames_to_model(frames_u8, order)
-            if self.spec.denoise:
-                x = self._denoise(x)
-            if self.anime_model is not None:
-                x = self.anime_model.forward(self.anime_model.params, x)
+            x = self._prelude(frames_to_model(frames_u8, order))
             if self.sr_model is not None:
                 if self.tile:
                     return model_to_frames(self._tiled_sr(x), order)
@@ -266,8 +268,14 @@ class ChainEngine:
         or the Pallas kernel path, which fuses its own tail)."""
         if self.sr_model is None or self.tile:
             return None
-        fn = self.sr_model.frames_forward(self.channel_order, planar=True)
-        return getattr(fn, "planar_scale", None)
+        if getattr(self.sr_model, "pallas_conv", False):
+            return None  # the Pallas path fuses its own tail kernel
+        from upscale_video_tpu.models.executor import probe_srvgg_tail
+
+        # cheap pattern probe — building the full planar forward here would
+        # run the whole graph-planning pass (2127 blobs for Valar) just to
+        # learn the answer is usually no
+        return probe_srvgg_tail(self.sr_model.graph)
 
     @property
     def planar_step(self) -> Callable:
@@ -283,11 +291,7 @@ class ChainEngine:
         order = self.channel_order
 
         def _step(frames_u8):
-            x = frames_to_model(frames_u8, order)
-            if self.spec.denoise:
-                x = self._denoise(x)
-            if self.anime_model is not None:
-                x = self.anime_model.forward(self.anime_model.params, x)
+            x = self._prelude(frames_to_model(frames_u8, order))
             return self.sr_model.frames_forward(order, planar=True)(
                 self.sr_model.params, x
             )
