@@ -26,18 +26,20 @@ from upscale_video_tpu.video.io import FfmpegPipeSink, FfmpegPipeSource
 
 W, H, N = 32, 24, 6
 
-FAKE_FFMPEG = r'''#!/usr/bin/env python3
+FAKE_FFMPEG = r'''#!/usr/bin/env -S python3 -S -E
+# stdlib-only, and -S -E skips venv site/.pth processing: a plain python3
+# launch costs ~1.8s on this host (jax plugin .pth scan), -S -E ~0.02s —
+# and each orchestration test spawns ~10 of these
 import json, os, sys
-import numpy as np
 
 W, H, N = 32, 24, 6
 
 def frames():
     for i in range(N):
-        f = np.zeros((H, W, 3), np.uint8)
-        f[:, :, 0] = i * 10
-        f[:, i % W, 1] = 255
-        yield f
+        row = bytearray()
+        for w in range(W):
+            row += bytes((i * 10, 255 if w == i % W else 0, 0))
+        yield bytes(row) * H
 
 args = sys.argv[1:]
 
@@ -66,7 +68,7 @@ if "rawvideo" in args and args[-1] == "-":
     out = sys.stdout.buffer
     for i, f in enumerate(frames()):
         if start <= i < start + count:
-            out.write(f.tobytes())
+            out.write(f)
     out.flush()
     sys.exit(0)
 
