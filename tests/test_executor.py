@@ -206,3 +206,36 @@ def test_real_2x_compact_matches_numpy_oracle(rng):
     got = np.asarray(build_forward(g, compute_dtype=jnp.float32)(params, x))
     want = forward_numpy(g, params, x)
     assert psnr(got * 255, want * 255) > 120  # numerically identical class
+
+
+def test_depthwise_conv_dilated(rng):
+    """Dilated ConvolutionDepthWise (attrs 2/12) must honor the dilation —
+    it used to silently compute the non-dilated conv (round-2 review)."""
+    from upscale_video_tpu.models.param_parser import NcnnGraph, NcnnLayer
+    from upscale_video_tpu.models.bin_loader import load_weights
+    import struct
+
+    C, D = 4, 2
+    layers = [
+        NcnnLayer("Input", "input", [], ["input"]),
+        NcnnLayer("ConvolutionDepthWise", "dw", ["input"], ["output"],
+                  {0: C, 1: 3, 2: D, 4: D, 5: 1, 6: C * 9, 7: C}),
+    ]
+    g = NcnnGraph(layers, 2)
+    w = rng.normal(0, 0.2, (C, 1, 3, 3)).astype(np.float32)
+    b = rng.normal(0, 0.1, (C,)).astype(np.float32)
+    data = struct.pack("<I", 0) + w.tobytes() + b.tobytes()
+    params = load_weights(g, data)
+    fwd = build_forward(g, compute_dtype=jnp.float32)
+    x = rng.uniform(0, 1, (1, 10, 10, C)).astype(np.float32)
+    got = np.asarray(fwd(params, x))
+    # per-channel reference with dilation D (pad D keeps SAME geometry)
+    xp = np.pad(x[0], ((D, D), (D, D), (0, 0)))
+    want = np.zeros_like(got)
+    for c in range(C):
+        acc = np.zeros((10, 10))
+        for i in range(3):
+            for j in range(3):
+                acc += xp[i*D:i*D+10, j*D:j*D+10, c] * w[c, 0, i, j]
+        want[0, :, :, c] = acc + b[c]
+    np.testing.assert_allclose(got, want, atol=1e-5)

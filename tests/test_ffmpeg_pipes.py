@@ -289,3 +289,72 @@ def test_copy_audio_muxes(fake_ffmpeg, tmp_path):
     assert res.frames_processed == N
     data = open(out, "rb").read()
     assert len(data) == N * (2 * W) * (2 * H) * 3
+
+
+class TestOrchestrationRegressions:
+    """Round-2 review fixes: output placement, container mismatch, and
+    truncated-stream handling over the ffmpeg backend."""
+
+    def test_relative_output_survives_workdir_cleanup(self, fake_ffmpeg,
+                                                      tmp_path, monkeypatch):
+        """FfmpegBackend.concat runs chdir'd into the workdir; a relative
+        -o must still land in the caller's cwd and survive the final
+        temp-dir purge."""
+        from upscale_video_tpu.pipeline.process import process_file
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "movie.raw").write_bytes(b"container")
+        res = process_file(
+            "movie.raw", output_file="out.raw", ffmpeg=fake_ffmpeg,
+            scale=2, temp_dir=str(tmp_path / "t"), synthetic_models=True,
+            precision="f32", engine=_small_engine(),
+        )
+        assert res.frames_processed == N
+        assert os.path.exists(tmp_path / "out.raw")
+        assert not os.path.exists(tmp_path / "t" / "upscale_video")
+        assert res.output_file == str(tmp_path / "out.raw")
+
+    def test_output_container_differs_from_input(self, fake_ffmpeg, tmp_path):
+        """Fragments must carry the OUTPUT extension so concat finds them
+        (-o out.webm for an .raw input used to fail at the final step)."""
+        from upscale_video_tpu.pipeline.process import process_file
+
+        (tmp_path / "movie.raw").write_bytes(b"container")
+        out = str(tmp_path / "movie.2x.webm")
+        res = process_file(
+            str(tmp_path / "movie.raw"), output_file=out, ffmpeg=fake_ffmpeg,
+            scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+            synthetic_models=True, precision="f32", engine=_small_engine(),
+        )
+        assert res.frames_processed == N
+        assert os.path.getsize(out) == N * (2 * W) * (2 * H) * 3
+
+    def test_truncated_stream_raises_and_leaves_no_fake_fragments(
+            self, fake_ffmpeg, tmp_path, monkeypatch):
+        """If the decoder delivers fewer frames than the probe promised,
+        the run must fail loudly and must NOT leave short/empty fragments
+        that resume+concat would trust as complete."""
+        import upscale_video_tpu.video.backend as vb
+        from upscale_video_tpu.pipeline.process import process_file
+
+        real_probe = vb.FfmpegBackend.probe
+
+        def inflated(self, input_file, workdir):
+            info = dict(real_probe(self, input_file, workdir))
+            info["number_of_frames"] = N + 5  # overstated metadata
+            return info
+
+        monkeypatch.setattr(vb.FfmpegBackend, "probe", inflated)
+        (tmp_path / "movie.raw").write_bytes(b"container")
+        with pytest.raises(RuntimeError, match="ended at frame"):
+            process_file(
+                str(tmp_path / "movie.raw"),
+                output_file=str(tmp_path / "o.raw"), ffmpeg=fake_ffmpeg,
+                scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+                synthetic_models=True, precision="f32",
+                resume_processing=True, engine=_small_engine(),
+            )
+        workdir = tmp_path / "t" / "upscale_video"
+        frags = sorted(p.name for p in workdir.glob("*.raw"))
+        # the batch that hit the truncation was discarded; nothing beyond it
+        assert all(int(f.split(".")[0]) < 2 for f in frags), frags

@@ -268,3 +268,46 @@ class TestChipsWiring:
         assert self._mesh_size(captured[0]) == 2
         # depth 1 over a 2-chip dp mesh rounds the step batch up to 2
         assert pts[0].frames_per_step == 2
+
+
+class TestMergeOnlyCrashResume:
+    def test_resume_after_last_encode_before_concat(self, tmp_path):
+        """Crash window between the final fragment encode and concat: the
+        rerun must recognize (via fragment_frames.txt) that every frame is
+        already encoded and go straight to concat, instead of dying on
+        'no more png files found' (round-2 review finding)."""
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=6)
+        tdir = str(tmp_path / "t")
+        upscale_only(vid, scale=2, temp_dir=tdir, batch_size=-2,
+                     synthetic_models=True, precision="f32")
+        workdir = os.path.join(tdir, "upscale_video")
+
+        # simulate the crash state: run merge_only fully, then reconstruct
+        # "fragments exist, concat never happened" by cutting the output
+        # back into the recorded fragments
+        out = merge_only(output_dir=str(tmp_path), temp_dir=tdir)
+        assert out is not None
+        os.remove(os.path.join(workdir, "merged.txt"))
+        state = open(os.path.join(workdir, "fragment_frames.txt")).read()
+        ends = [int(l.split()[1]) for l in state.splitlines()]
+        assert ends and ends[-1] == 6
+        with Y4MSource(out) as src:
+            frames = list(src)
+        os.remove(out)
+        start = 0
+        from fractions import Fraction
+
+        from upscale_video_tpu.video.io import Y4MSink
+        for b, end in enumerate(ends, start=1):
+            with Y4MSink(os.path.join(workdir, f"{b}.y4m"),
+                         frames[0].shape[1], frames[0].shape[0],
+                         Fraction(24, 1)) as sink:
+                for f in frames[start:end]:
+                    sink.write(f)
+            start = end
+
+        out2 = merge_only(output_dir=str(tmp_path), temp_dir=tdir)
+        assert out2 is not None
+        with Y4MSource(out2) as src:
+            assert len(list(src)) == 6

@@ -113,10 +113,16 @@ def _op_convolution_depthwise(layer: NcnnLayer, inputs, p, compute_dtype):
     kh = layer.attr_i(11, kw)
     sw = layer.attr_i(3, 1)
     sh = layer.attr_i(13, sw)
+    dw = layer.attr_i(2, 1)
+    dh = layer.attr_i(12, dw)
     pad_l = layer.attr_i(4, 0)
     pad_t = layer.attr_i(14, pad_l)
     pad_r = layer.attr_i(15, pad_l)
     pad_b = layer.attr_i(16, pad_t)
+    if pad_l == -233:  # ncnn "SAME_UPPER" auto-pad, as in _op_convolution
+        padding = "SAME"
+    else:
+        padding = [(pad_t, pad_b), (pad_l, pad_r)]
     cin = x.shape[-1]
     flat = p["weight"]
     # ncnn stores group blocks of (out/g, in/g, kh, kw)
@@ -128,7 +134,8 @@ def _op_convolution_depthwise(layer: NcnnLayer, inputs, p, compute_dtype):
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w,
         window_strides=(sh, sw),
-        padding=[(pad_t, pad_b), (pad_l, pad_r)],
+        padding=padding,
+        rhs_dilation=(dh, dw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=group,
         preferred_element_type=jnp.float32,
@@ -550,16 +557,21 @@ def _chain_eligible(layer: NcnnLayer) -> bool:
         and 0 < cin <= 128 and 0 < cout <= 128
 
 
-def _plan_pallas_fusion(graph: NcnnGraph, exclude=frozenset()) -> tuple[dict, set]:
+def _plan_pallas_fusion(
+    graph: NcnnGraph, exclude=frozenset(),
+    consumers: Optional[Dict[str, List[int]]] = None,
+) -> tuple[dict, set]:
     """Map conv layer name -> fused activation plan, and the set of layer
     names absorbed into a fused kernel (PReLUs, the SRVGG tail's
     PixelShuffle/Interp/Add when the whole tail fuses, and the members of
     bordered-chain runs beyond the first).  ``exclude``: convs already
-    claimed by the dense-scatter rewrite."""
-    consumers: Dict[str, List[int]] = {}
-    for idx, layer in enumerate(graph.layers):
-        for b in layer.inputs:
-            consumers.setdefault(b, []).append(idx)
+    claimed by the dense-scatter rewrite.  ``consumers``: the caller's
+    blob->consumer-indices map (rebuilt here only for standalone use)."""
+    if consumers is None:
+        consumers = {}
+        for idx, layer in enumerate(graph.layers):
+            for b in layer.inputs:
+                consumers.setdefault(b, []).append(idx)
 
     plans: Dict[str, Dict[str, Any]] = {}
     absorbed: set = set()
@@ -863,7 +875,7 @@ def build_forward(
     absorbed: set = set()
     if pallas_conv:
         fusion_plans, absorbed = _plan_pallas_fusion(
-            graph, exclude=set(dense_targets)
+            graph, exclude=set(dense_targets), consumers=consumers_map
         )
 
     # Shuffle-planar output contract (emit-frames only): the SRVGG tail's
@@ -1064,7 +1076,11 @@ def build_forward(
                 )
                 _run_scatter(plan["out"])
                 b_in = layer.inputs[0]
-                if last_use.get(b_in, -1) <= i + (1 if plan.get("prelu") else 0) \
+                # strictly <= i: an absorbed PReLU consumes the conv's
+                # OUTPUT, never b_in, so last_use[b_in] == i+1 always means
+                # some OTHER layer still needs it (a +1 allowance here
+                # deleted such blobs -> KeyError in forward)
+                if last_use.get(b_in, -1) <= i \
                         and b_in in blobs and b_in != plan["out"]:
                     del blobs[b_in]
                 continue

@@ -272,10 +272,17 @@ class ChainEngine:
             return None  # the Pallas path fuses its own tail kernel
         from upscale_video_tpu.models.executor import probe_srvgg_tail
 
-        # cheap pattern probe — building the full planar forward here would
-        # run the whole graph-planning pass (2127 blobs for Valar) just to
-        # learn the answer is usually no
-        return probe_srvgg_tail(self.sr_model.graph)
+        # cheap pattern probe first — building the full planar forward for
+        # a no answer would run the whole graph-planning pass (2127 blobs
+        # for Valar).  On a probe HIT, defer to the built forward's own
+        # planar_scale: build_forward can still decline (e.g. the tail
+        # conv claimed by the dense-scatter rewrite), and trusting the
+        # probe alone would hand the pipeline a planar transform for a
+        # full-frame program.
+        if probe_srvgg_tail(self.sr_model.graph) is None:
+            return None
+        fn = self.sr_model.frames_forward(self.channel_order, planar=True)
+        return getattr(fn, "planar_scale", None)
 
     @property
     def planar_step(self) -> Callable:

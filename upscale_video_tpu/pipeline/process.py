@@ -123,7 +123,12 @@ def process_file(
 
     setup_logging(log_level, log_dir, input_file)
 
-    output_file = output_file or default_output_name(input_file, scale)
+    # absolutize: FfmpegBackend.concat runs chdir'd into the workdir, so a
+    # relative output path would land there and be destroyed by the final
+    # workdir cleanup (same hazard _extract_all guards for input_file)
+    output_file = os.path.abspath(
+        output_file or default_output_name(input_file, scale)
+    )
     log.info("processing %s -> %s", input_file, output_file)
 
     workdir = prepare_workdir(temp_dir, resume_processing)
@@ -133,7 +138,12 @@ def process_file(
 
     backend = make_backend(
         ffmpeg, ffmpeg_encoder, pix_fmt,
-        output_format=(input_file.split(".")[-1] if ffmpeg else "y4m"),
+        # fragments carry the OUTPUT container's extension so the concat
+        # list references the files that actually exist (reference names
+        # its fragments by the output extension too,
+        # upscale_processing.py:615-639); deriving from the input ext
+        # broke `-o out.mkv` for an .mp4 input at the final concat
+        output_format=(output_file.split(".")[-1] if ffmpeg else "y4m"),
         global_quality=global_quality,
     )
 
@@ -300,6 +310,7 @@ def _run_stream_plane(
             )
             stepper = BatchedStepper(step_fn, frames_per_step)
             wrote = 0
+            ended_early = False
             try:
                 try:
                     for f in range(start, end + 1):
@@ -307,6 +318,7 @@ def _run_stream_plane(
                             frame = source.read()
                         if frame is None:
                             log.warning("stream ended early at frame %d", f)
+                            ended_early = True
                             break
                         with timer.stage("infer"):
                             outs = stepper.feed(frame)
@@ -328,6 +340,19 @@ def _run_stream_plane(
                 if os.path.exists(frag):
                     os.remove(frag)
                 raise
+            if ended_early:
+                # probe metadata overstated the frame count (VFR/imprecise
+                # containers): never leave short/empty fragments for resume
+                # and concat to trust as complete
+                if os.path.exists(frag):
+                    os.remove(frag)
+                processed += wrote
+                raise RuntimeError(
+                    f"decoded stream ended at frame {start + wrote - 1} but "
+                    f"the probe reported {batches[len(batches)][1]} frames; "
+                    f"batch {batch}'s fragment was discarded — re-probe or "
+                    "fix the source, then resume"
+                )
             processed += wrote
             log.info("batch %d: %d frames upscaled+encoded", batch, wrote)
     finally:
@@ -354,23 +379,8 @@ def _run_png_plane(
     if need_extract:
         _extract_all(backend, input_file, info, crop, workdir, ffmpeg)
 
-    in_tag = "extract"
-    if engine.spec.denoise:
-        log.info("starting denoise touchup...")
-        stages.run_stage_pass(
-            workdir, all_frames, in_tag, "denoise",
-            engine.stage_fn("denoise"), frames_per_step,
-            progress_label="Denoised",
-        )
-        in_tag = "denoise"
-    if engine.spec.anime:
-        log.info("starting anime touchup...")
-        stages.run_stage_pass(
-            workdir, all_frames, in_tag, "anime",
-            engine.stage_fn("anime"), frames_per_step,
-            progress_label="Deblurred",
-        )
-        in_tag = "anime"
+    in_tag = stages.run_chain_stages(engine, workdir, all_frames,
+                                     frames_per_step)
 
     processed = 0
     for batch, (start, end) in batches.items():

@@ -130,3 +130,26 @@ def rename_stage_to_final(workdir: str, frames: Iterable[int], in_tag: str) -> N
             os.path.join(workdir, frame_name(f, in_tag)),
             os.path.join(workdir, frame_name(f)),
         )
+
+def run_chain_stages(engine, workdir, frames, frames_per_step, remove=True):
+    """Denoise -> anime pre-SR passes over the PNG store; returns the final
+    input tag.  The ONE place the PNG plane's stage order lives — shared by
+    process_file's png plane and the upscale_only/fix_frames/process_image
+    workflows (reference stage sequence at upscale_processing.py:883-909).
+    """
+    in_tag = "extract"
+    if engine.spec.denoise:
+        log.info("starting denoise touchup...")
+        run_stage_pass(
+            workdir, frames, in_tag, "denoise", engine.stage_fn("denoise"),
+            frames_per_step, remove=remove, progress_label="Denoised",
+        )
+        in_tag = "denoise"
+    if engine.spec.anime:
+        log.info("starting anime touchup...")
+        run_stage_pass(
+            workdir, frames, in_tag, "anime", engine.stage_fn("anime"),
+            frames_per_step, remove=remove, progress_label="Deblurred",
+        )
+        in_tag = "anime"
+    return in_tag

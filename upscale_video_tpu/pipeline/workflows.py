@@ -64,26 +64,6 @@ def _build_engine(spec, scale, model_path, precision, tile_size, halo,
     )
 
 
-def _run_chain_stages(engine, workdir, frames, frames_per_step, remove=True):
-    """Denoise -> anime passes over the PNG store; returns final input tag."""
-    in_tag = "extract"
-    if engine.spec.denoise:
-        log.info("starting denoise touchup...")
-        stages.run_stage_pass(
-            workdir, frames, in_tag, "denoise", engine.stage_fn("denoise"),
-            frames_per_step, remove=remove, progress_label="Denoised",
-        )
-        in_tag = "denoise"
-    if engine.spec.anime:
-        log.info("starting anime touchup...")
-        stages.run_stage_pass(
-            workdir, frames, in_tag, "anime", engine.stage_fn("anime"),
-            frames_per_step, remove=remove, progress_label="Deblurred",
-        )
-        in_tag = "anime"
-    return in_tag
-
-
 def upscale_only(
     input_file: str,
     ffmpeg: Optional[str] = None,
@@ -148,7 +128,7 @@ def upscale_only(
     log.info("model chain: %s", engine.describe())
 
     all_frames = range(1, frames_count + 1)
-    in_tag = _run_chain_stages(engine, workdir, all_frames, frames_per_step)
+    in_tag = stages.run_chain_stages(engine, workdir, all_frames, frames_per_step)
 
     if upscale_dir:
         for cache in ("metadata.json", "crop_detect.txt"):
@@ -207,17 +187,34 @@ def merge_only(
     src_name = os.path.basename(info["format"]["filename"])
     stem = src_name.rsplit(".", 1)[0] if "." in src_name else src_name
     ext = "mkv" if ffmpeg else "y4m"
-    output_file = os.path.join(output_dir, f"{stem}.upscaled.{ext}")
+    # abspath: FfmpegBackend.concat chdirs into the workdir
+    output_file = os.path.abspath(
+        os.path.join(output_dir, f"{stem}.upscaled.{ext}")
+    )
     setup_logging(log_level, log_dir, output_file)
 
     if has_sentinel(workdir, SENTINEL_MERGED):
         log.info("%s already processed (merged.txt)", output_file)
         return None
 
+    # fragment_frames.txt records "batch end_frame" per encoded fragment so
+    # a rerun that finds every fragment already on disk (crash between the
+    # last encode and concat) can see the job is complete instead of dying
+    # on "no more png files found"
+    state_path = os.path.join(workdir, "fragment_frames.txt")
+    frag_end: dict = {}
+    if os.path.exists(state_path):
+        for line in open(state_path):
+            parts = line.split()
+            if len(parts) == 2 and all(p.isdigit() for p in parts):
+                frag_end[int(parts[0])] = int(parts[1])
+
     batch = 1
     while True:
         frag = os.path.join(workdir, backend.fragment_name(batch))
         if os.path.exists(frag):
+            if frag_end.get(batch, 0) >= frames_count:
+                break  # all frames already encoded; only concat remained
             batch += 1
             continue
         zip_path = os.path.join(workdir, f"{batch}.zip")
@@ -253,6 +250,8 @@ def merge_only(
             raise
         for f in range(start, end + 1):
             os.remove(os.path.join(workdir, f"{f}.png"))
+        with open(state_path, "a") as sf:
+            sf.write(f"{batch} {end}\n")
         log.info("batch %d merged (frames %d..%d)", batch, start, end)
 
         if end >= frames_count:
@@ -337,7 +336,7 @@ def fix_frames(
         if os.path.exists(p):
             os.remove(p)
 
-    in_tag = _run_chain_stages(engine, workdir, frames, frames_per_step)
+    in_tag = stages.run_chain_stages(engine, workdir, frames, frames_per_step)
 
     if scale == 1:
         stages.rename_stage_to_final(workdir, frames, in_tag)
@@ -419,7 +418,7 @@ def process_image(
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
     frames_per_step = engine.configure_chips(chips, frames_per_step)
-    in_tag = _run_chain_stages(engine, output_dir, frames, frames_per_step,
+    in_tag = stages.run_chain_stages(engine, output_dir, frames, frames_per_step,
                                remove=False)
 
     outputs = []

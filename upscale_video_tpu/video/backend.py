@@ -124,7 +124,8 @@ class FfmpegBackend(VideoBackend):
         cwd = os.getcwd()
         os.chdir(workdir)
         try:
-            ff.concat_fragments(self.ffmpeg, num_batches, output_file)
+            ff.concat_fragments(self.ffmpeg, num_batches, output_file,
+                                fragment_ext=self.output_format)
         finally:
             os.chdir(cwd)
 

@@ -261,11 +261,14 @@ def scan_corrupt_pngs(start_frame: int, end_frame: int) -> List[int]:
 
 def concat_fragments(
     ffmpeg: str, num_batches: int, output_file: str,
-    runner: Runner = run_logged,
+    runner: Runner = run_logged, fragment_ext: Optional[str] = None,
 ) -> None:
     """Write merge_list.txt and concat fragments (reference
-    upscale_processing.py:689-730); deletes fragments on success."""
-    output_format = output_file.split(".")[-1]
+    upscale_processing.py:689-730); deletes fragments on success.
+
+    ``fragment_ext``: the extension the fragments were encoded under
+    (backend.output_format); defaults to the output file's extension."""
+    output_format = fragment_ext or output_file.split(".")[-1]
     with open("merge_list.txt", "w") as f:
         for i in range(num_batches):
             f.write(f"file {i + 1}.{output_format}\n")
