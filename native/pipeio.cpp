@@ -76,9 +76,21 @@ ssize_t read_full(int fd, uint8_t *dst, size_t n, const std::atomic<bool> &stop)
   return static_cast<ssize_t>(got);
 }
 
-ssize_t write_full(int fd, const uint8_t *src, size_t n) {
+ssize_t write_full(int fd, const uint8_t *src, size_t n,
+                   const std::atomic<bool> &stop) {
+  // poll-interruptible like read_full: a wedged encoder that stops
+  // draining the pipe must not make close()/flush() hang forever —
+  // the stop flag set by pipeio_close breaks the wait
   size_t put = 0;
   while (put < n) {
+    struct pollfd pfd = {fd, POLLOUT, 0};
+    int pr = ::poll(&pfd, 1, 100);
+    if (stop) return static_cast<ssize_t>(put);
+    if (pr < 0) {
+      if (errno == EINTR) continue;
+      return -1;
+    }
+    if (pr == 0) continue;  // timeout, re-check stop
     ssize_t w = ::write(fd, src + put, n - put);
     if (w < 0) {
       if (errno == EINTR) continue;
@@ -126,9 +138,14 @@ void writer_loop(Ring *r) {
       if (r->stop && !r->filled[r->head]) return;
       slot = r->head;
     }
-    ssize_t put = write_full(r->fd, r->buffers[slot].data(), r->frame_bytes);
+    ssize_t put = write_full(r->fd, r->buffers[slot].data(), r->frame_bytes,
+                             r->stop);
     std::lock_guard<std::mutex> lk(r->mu);
     if (put < 0) {
+      r->error = true;
+    } else if (static_cast<size_t>(put) != r->frame_bytes) {
+      // interrupted by stop mid-frame: the sink is being torn down; mark
+      // error so flush() does not report a clean drain
       r->error = true;
     } else {
       r->filled[slot] = false;

@@ -265,3 +265,104 @@ class TestFrameStore:
         assert contiguous_range([3, 4, 5]) == (3, 5)
         with pytest.raises(ValueError, match="missing 5"):
             contiguous_range([3, 4, 6, 7])
+
+
+class TestReferenceMetadataInterop:
+    def test_cache_hit_backfills_reference_schema(self, tmp_path):
+        """A reference-written metadata.json (raw ffprobe dict + the three
+        derived fields, upscale_processing.py:123-128) lacks width/height/
+        frame_rate_fraction; a cache hit with the input available must
+        re-probe geometry while keeping the cached frame count
+        (CLAUDE.md resume-interop invariant)."""
+        import json
+
+        from upscale_video_tpu.video.ffmpeg import get_metadata
+
+        ref_style = {
+            "streams": [{"r_frame_rate": "24/1", "nb_read_packets": "42"}],
+            "format": {"duration": "1.75", "filename": "in.mkv"},
+            "number_of_frames": 42,
+            "duration": 1.75,
+            "frame_rate": 24.0,
+        }
+        (tmp_path / "metadata.json").write_text(json.dumps(ref_style))
+
+        def fake_runner(cmds):
+            import subprocess
+
+            return subprocess.CompletedProcess(cmds, 0, stdout=json.dumps({
+                "streams": [{"r_frame_rate": "24/1", "nb_read_packets": "42",
+                             "width": 64, "height": 48}],
+                "format": {"duration": "1.75", "filename": "in.mkv"},
+            }), stderr="")
+
+        info = get_metadata("ffmpeg", "in.mkv", cache_dir=str(tmp_path),
+                            runner=fake_runner)
+        assert info["width"] == 64 and info["height"] == 48
+        assert info["frame_rate_fraction"] == "24/1"
+        assert info["number_of_frames"] == 42
+        # backfill is persisted: second hit needs no probe
+        info2 = get_metadata("ffmpeg", None, cache_dir=str(tmp_path))
+        assert info2["width"] == 64
+
+
+def test_crop_samples_span_scales_with_count(tmp_path):
+    """The probed timestamps must cover the runtime for ANY sample count
+    (a fixed /120 divisor clustered small counts in the opening minutes)."""
+    from upscale_video_tpu.video.ffmpeg import get_crop_detect
+
+    seeks = []
+
+    def runner(cmds):
+        import subprocess
+
+        seeks.append(float(cmds[cmds.index("-ss") + 1]))
+        return subprocess.CompletedProcess(cmds, 0, stdout="", stderr="crop=1:1:0:0")
+
+    get_crop_detect("ffmpeg", "in.mkv", duration=7200.0,
+                    cache_dir=str(tmp_path), samples=10, runner=runner)
+    assert len(seeks) == 10
+    assert max(seeks) > 7200 * 0.5  # reaches past the midpoint
+    assert max(seeks) < 7200  # never seeks beyond the end
+
+
+def test_prefetch_source_eof_is_sticky():
+    """EOF/error must persist across reads: the stream plane keeps reading
+    across fragment gaps after the producer thread has exited."""
+    from upscale_video_tpu.parallel.executor import PrefetchSource
+
+    class TwoFrames:
+        width, height, frame_rate, num_frames = 2, 2, 24, 2
+
+        def __init__(self):
+            self.n = 0
+
+        def read(self):
+            self.n += 1
+            return np.zeros((2, 2, 3), np.uint8) if self.n <= 2 else None
+
+        def close(self):
+            pass
+
+    src = PrefetchSource(TwoFrames(), depth=4)
+    assert src.read() is not None and src.read() is not None
+    for _ in range(3):  # every subsequent read sees EOF, never blocks
+        assert src.read() is None
+    src.close()
+
+
+def test_png_dir_probe_ignores_stage_artifacts(tmp_path):
+    """number_of_frames for a PNG-dir input counts only untagged {n}.png
+    (stage artifacts like {n}.extract.png inflated the count)."""
+    from PIL import Image
+
+    from upscale_video_tpu.video.backend import HermeticBackend
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in (1, 2, 3):
+        Image.new("RGB", (8, 6)).save(d / f"{i}.png")
+    Image.new("RGB", (8, 6)).save(d / "2.extract.png")
+    Image.new("RGB", (8, 6)).save(d / "thumb.cover.png")
+    info = HermeticBackend().probe(str(d), str(tmp_path))
+    assert info["number_of_frames"] == 3

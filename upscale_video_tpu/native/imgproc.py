@@ -12,8 +12,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import shutil
-import subprocess
 import threading
 from typing import Optional
 
@@ -32,34 +30,16 @@ _DEF_THREADS = min(8, os.cpu_count() or 1)
 
 
 def _build_library() -> Optional[str]:
-    src = os.path.join(_NATIVE_DIR, "imgproc.cpp")
-    out = os.path.join(_NATIVE_DIR, _LIB_NAME)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
-    gxx = shutil.which("g++") or shutil.which("c++")
-    if not gxx:
-        return None
-    build_dir = _NATIVE_DIR
-    if not os.access(build_dir, os.W_OK):
-        build_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "upscale_video_tpu"
-        )
-        os.makedirs(build_dir, exist_ok=True)
-        out = os.path.join(build_dir, _LIB_NAME)
-        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-            return out
     # -fno-math-errno/-fno-trapping-math let nearbyintf vectorize to the
     # hardware round instruction (20x at 4K); -ffp-contract=off keeps FMA
     # from perturbing the float results, preserving bit-parity with numpy
-    base = [gxx, "-O3", "-std=c++17", "-fPIC", "-pthread", "-Wall",
-            "-fno-math-errno", "-fno-trapping-math", "-ffp-contract=off"]
-    for extra in (["-march=native"], []):
-        cmd = base + extra + ["-shared", "-o", out, src]
-        result = subprocess.run(cmd, capture_output=True, text=True)
-        if result.returncode == 0:
-            return out
-    log.warning("native imgproc build failed: %s", result.stderr[-400:])
-    return None
+    from upscale_video_tpu.native.buildlib import build_library
+
+    return build_library(
+        "imgproc.cpp", _LIB_NAME,
+        extra_flags=["-fno-math-errno", "-fno-trapping-math",
+                     "-ffp-contract=off"],
+    )
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:

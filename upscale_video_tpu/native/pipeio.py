@@ -11,8 +11,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import shutil
-import subprocess
 import threading
 from typing import Optional
 
@@ -29,29 +27,9 @@ _build_failed = False
 
 
 def _build_library() -> Optional[str]:
-    src = os.path.join(_NATIVE_DIR, "pipeio.cpp")
-    out = os.path.join(_NATIVE_DIR, _LIB_NAME)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
-    gxx = shutil.which("g++") or shutil.which("c++")
-    if not gxx:
-        return None
-    build_dir = _NATIVE_DIR
-    if not os.access(build_dir, os.W_OK):
-        build_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "upscale_video_tpu"
-        )
-        os.makedirs(build_dir, exist_ok=True)
-        out = os.path.join(build_dir, _LIB_NAME)
-        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-            return out
-    cmd = [gxx, "-O2", "-std=c++17", "-fPIC", "-pthread", "-Wall",
-           "-shared", "-o", out, src]
-    result = subprocess.run(cmd, capture_output=True, text=True)
-    if result.returncode != 0:
-        log.warning("native pipeio build failed: %s", result.stderr[-400:])
-        return None
-    return out
+    from upscale_video_tpu.native.buildlib import build_library
+
+    return build_library("pipeio.cpp", _LIB_NAME)
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:

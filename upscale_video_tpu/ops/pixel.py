@@ -45,7 +45,7 @@ def frames_to_model(
 
 
 def model_to_frames(
-    y: jnp.ndarray, channel_order: str = "bgr", dither: bool = False
+    y: jnp.ndarray, channel_order: str = "bgr"
 ) -> jnp.ndarray:
     """Model output float -> uint8 RGB frames, matching the reference's
     ``*255`` + image-writer clamp/round (upscale_processing.py:284-288)."""

@@ -17,6 +17,7 @@ the NOTES.md round-2 boundary-glue elimination plan.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

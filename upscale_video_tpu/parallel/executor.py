@@ -56,6 +56,10 @@ class PrefetchSource(FrameSource):
     def read(self) -> Optional[np.ndarray]:
         item = self._q.get()
         if item is _SENTINEL:
+            # sticky: the producer thread has exited, so every later read()
+            # must see EOF/error again instead of blocking on an empty
+            # queue forever (the stream plane reads across fragment gaps)
+            self._q.put(_SENTINEL)
             if self._err is not None:
                 raise self._err
             return None

@@ -144,15 +144,25 @@ class HermeticBackend(VideoBackend):
             raise FileNotFoundError("metadata.json not found and no input file")
         if os.path.isdir(input_file):
             src = PngDirSource(input_file, tag="")
-            n = len(glob.glob(os.path.join(input_file, "*.png")))
+            # count only untagged frame files ({n}.png): stage artifacts
+            # ({n}.extract.png) or stray PNGs in the directory are not
+            # frames PngDirSource will read and must not inflate the count
+            n = sum(
+                1 for p in glob.glob(os.path.join(input_file, "*.png"))
+                if os.path.basename(p).count(".") == 1
+                and os.path.basename(p).split(".")[0].isdigit()
+            )
             rate = src.frame_rate
             w, h = src.width, src.height
             src.close()
         elif input_file.endswith(".y4m"):
             with Y4MSource(input_file) as src:
                 rate, w, h = src.frame_rate, src.width, src.height
+                # count via header-line reads + seeks — read() would
+                # colour-convert every frame of the whole movie just to
+                # learn the count
                 n = 0
-                while src.read() is not None:
+                while src.skip(1):
                     n += 1
         else:
             raise ValueError(

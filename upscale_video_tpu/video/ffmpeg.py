@@ -127,6 +127,20 @@ def mux_audio_cmd(ffmpeg: str, video_file: str, source_file: str,
 # Probe + caches
 # ---------------------------------------------------------------------------
 
+def _derive_metadata_fields(info: Dict) -> None:
+    """Fill the derived keys from raw ffprobe fields (idempotent; the
+    number_of_frames/duration/frame_rate trio is kept if already present —
+    a reference cache's values are authoritative for resume)."""
+    stream = info["streams"][0]
+    rate = Fraction(stream["r_frame_rate"])  # no eval()
+    info.setdefault("number_of_frames", int(stream["nb_read_packets"]))
+    info.setdefault("duration", float(info["format"]["duration"]))
+    info["frame_rate"] = float(rate)
+    info["frame_rate_fraction"] = f"{rate.numerator}/{rate.denominator}"
+    info["width"] = int(stream.get("width", 0))
+    info["height"] = int(stream.get("height", 0))
+
+
 def get_metadata(
     ffmpeg: str, input_file: Optional[str], cache_dir: str = ".",
     runner: Runner = run_logged,
@@ -141,6 +155,29 @@ def get_metadata(
     if os.path.exists(cache):
         with open(cache) as f:
             info = json.load(f)
+        # a reference-written metadata.json (upscale_processing.py:123-128)
+        # lacks this pipeline's derived keys (width/height/
+        # frame_rate_fraction) — backfill from the raw ffprobe fields it
+        # DOES carry so resume on a reference temp dir works (CLAUDE.md
+        # interop invariant).  The reference's probe never requests
+        # width/height, so when geometry is missing AND we have the input,
+        # re-probe (keeping the cached frame count authoritative).
+        if "frame_rate_fraction" not in info or not info.get("width"):
+            if input_file is not None and not info.get("width"):
+                frames_count = info.get("number_of_frames")
+                result = runner(probe_cmd(ffmpeg, input_file))
+                if result.returncode == 0:
+                    fresh = json.loads(result.stdout)
+                    fresh.update(
+                        {k: v for k, v in info.items()
+                         if k not in ("streams", "format")}
+                    )
+                    info = fresh
+                    if frames_count is not None:
+                        info["number_of_frames"] = frames_count
+            _derive_metadata_fields(info)
+            with open(cache, "w") as f:
+                json.dump(info, f)
         log.info("metadata cache hit: %d frames", info["number_of_frames"])
         return info
     if input_file is None:
@@ -150,14 +187,7 @@ def get_metadata(
     if result.returncode != 0:
         raise RuntimeError(f"ffprobe failed: {result.stderr}")
     info = json.loads(result.stdout)
-    stream = info["streams"][0]
-    rate = Fraction(stream["r_frame_rate"])  # no eval()
-    info["number_of_frames"] = int(stream["nb_read_packets"])
-    info["duration"] = float(info["format"]["duration"])
-    info["frame_rate"] = float(rate)
-    info["frame_rate_fraction"] = f"{rate.numerator}/{rate.denominator}"
-    info["width"] = int(stream.get("width", 0))
-    info["height"] = int(stream.get("height", 0))
+    _derive_metadata_fields(info)
     with open(cache, "w") as f:
         json.dump(info, f)
     log.info(
@@ -182,7 +212,14 @@ def get_crop_detect(
     if os.path.exists(cache):
         with open(cache) as f:
             return f.read()
-    interval = int(duration / 120) if duration >= 120 else duration / 120.0
+    # spread samples across the whole runtime for ANY sample count: the
+    # probed timestamps are (i+1)*interval for i in 10..10+samples, so the
+    # divisor must scale with samples (the reference's fixed /120 assumed
+    # its fixed 100 samples, upscale_processing.py:144-147; keeping /120
+    # with a smaller count would cluster every probe in the opening
+    # minutes and let credits/intros dominate the crop vote)
+    span = samples + 20
+    interval = int(duration / span) if duration >= span else duration / span
     votes: Counter = Counter()
     for i in range(10, 10 + samples):
         result = runner(cropdetect_cmd(ffmpeg, input_file, (i + 1) * interval))
@@ -239,7 +276,8 @@ def encode_fragment_pngs(
         )
     for frame in range(start_frame, end_frame + 1):
         os.remove(f"{frame}.png")
-    log.info("batch merged into %s (%d frames)", out_name, end_frame)
+    log.info("batch merged into %s (%d frames)", out_name,
+             end_frame - start_frame + 1)
     return []
 
 
