@@ -311,3 +311,40 @@ class TestMergeOnlyCrashResume:
         assert out2 is not None
         with Y4MSource(out2) as src:
             assert len(list(src)) == 6
+
+
+def test_upscale_only_forwards_parallel_mode(tmp_path, monkeypatch):
+    """--parallel must reach the engine in the companion workflows (the
+    flag was exposed by their CLIs but silently dropped — round-2
+    review)."""
+    from upscale_video_tpu.pipeline import workflows as wf
+
+    captured = []
+    real = wf._build_engine
+
+    def wrapper(*a, **k):
+        eng = real(*a, **k)
+        captured.append(eng)
+        return eng
+
+    monkeypatch.setattr(wf, "_build_engine", wrapper)
+    vid = str(tmp_path / "in.y4m")
+    make_test_video(vid, n_frames=2, w=32, h=16)
+    upscale_only(vid, scale=2, temp_dir=str(tmp_path / "t"), chips="0,1",
+                 synthetic_models=True, precision="f32", frames_per_step=1,
+                 parallel_mode="sp")
+    assert getattr(captured[0], "_mesh_mode", None) == "sp"
+
+
+def test_cli_parsers_forward_parallel():
+    """All four workflow CLIs wire args.parallel through."""
+    import inspect
+
+    from upscale_video_tpu.cli import fix_frames as cf
+    from upscale_video_tpu.cli import test_images as ci
+    from upscale_video_tpu.cli import upscale_only as cu
+    from upscale_video_tpu.cli import upscale_video as cv
+
+    for mod in (cf, ci, cu, cv):
+        src = inspect.getsource(mod)
+        assert "parallel_mode=args.parallel" in src, mod.__name__

@@ -8,6 +8,7 @@ test_images.py outputs, README:65-78).
 from __future__ import annotations
 
 import argparse
+import math
 import json
 
 from upscale_video_tpu.pipeline.quality import compare_sources
@@ -33,14 +34,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    setup_logging(None, None, None)
+    import sys
+
+    # --json: keep stdout machine-parseable (logs go to stderr)
+    setup_logging(None, None, None,
+                  stream=sys.stderr if args.json else None)
     stats = compare_sources(args.reference, args.candidate,
                             max_frames=args.max_frames)
     if args.json:
+        # identical frames have PSNR inf; bare Infinity is not valid
+        # RFC 8259 JSON (jq and most non-Python parsers reject it)
+        _num = lambda v: round(v, 4) if math.isfinite(v) else None  # noqa: E731
         print(json.dumps({
             "frames": stats.frames,
-            "mean_psnr_db": round(stats.mean_psnr, 4),
-            "min_psnr_db": round(stats.min_psnr, 4),
+            "mean_psnr_db": _num(stats.mean_psnr),
+            "min_psnr_db": _num(stats.min_psnr),
+            "identical": not math.isfinite(stats.min_psnr),
             "min_frame": stats.min_frame,
         }))
     else:

@@ -70,7 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.copy_audio and not args.ffmpeg:
+        # fail up front, not silently after a multi-hour run
+        parser.error("--copy_audio requires -f/--ffmpeg (audio mux is an "
+                     "ffmpeg stream copy)")
     from upscale_video_tpu.utils.profiling import trace
 
     with trace(args.trace_dir):

@@ -83,6 +83,7 @@ def upscale_only(
     frames_per_step: int = 4,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
+    parallel_mode: str = "dp",
 ) -> Optional[int]:
     """Split-machine stage 1: upscale + zip, no video encode."""
     if scale not in VALID_SCALES:
@@ -124,7 +125,8 @@ def upscale_only(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
-    frames_per_step = engine.configure_chips(chips, frames_per_step)
+    frames_per_step = engine.configure_chips(chips, frames_per_step,
+                                             parallel_mode)
     log.info("model chain: %s", engine.describe())
 
     all_frames = range(1, frames_count + 1)
@@ -281,6 +283,7 @@ def fix_frames(
     frames_per_step: int = 4,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
+    parallel_mode: str = "dp",
 ) -> List[int]:
     """Repair listed frames: re-extract missing intermediates, re-run the
     chain on just those frames (reference upscale/fix_frames.py:25-277)."""
@@ -329,7 +332,8 @@ def fix_frames(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
-    frames_per_step = engine.configure_chips(chips, frames_per_step)
+    frames_per_step = engine.configure_chips(chips, frames_per_step,
+                                             parallel_mode)
 
     for f in frames:  # clear stale final artifacts (ref :240-244)
         p = os.path.join(workdir, f"{f}.png")
@@ -393,6 +397,7 @@ def process_image(
     frames_per_step: int = 4,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
+    parallel_mode: str = "dp",
 ) -> List[str]:
     """Sampling tool: run a candidate chain on selected extracted frames,
     keeping every intermediate, and name results ``{frame}.{models}.png``
@@ -417,7 +422,8 @@ def process_image(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl)
-    frames_per_step = engine.configure_chips(chips, frames_per_step)
+    frames_per_step = engine.configure_chips(chips, frames_per_step,
+                                             parallel_mode)
     in_tag = stages.run_chain_stages(engine, output_dir, frames, frames_per_step,
                                remove=False)
 

@@ -45,9 +45,27 @@ def make_train_state(model: Model, learning_rate: float = 1e-4):
     return TrainState(params=params, opt_state=tx.init(params)), tx
 
 
+def _differentiable_forward(model: Model) -> Callable:
+    """The XLA-path forward for autodiff: pallas_call has no differentiation
+    rule, so a model carrying pallas_conv=True (e.g. taken off a
+    conv_impl='pallas' engine) must not be differentiated through its
+    inference forward."""
+    if not getattr(model, "pallas_conv", False):
+        return model.forward
+    from upscale_video_tpu.models.executor import build_forward
+
+    return build_forward(model.graph, compute_dtype=model.compute_dtype,
+                         pallas_conv=False)
+
+
 def make_train_step(model: Model, tx) -> Callable:
-    """Single-device jitted train step: (state, lr_imgs, hr_imgs) -> (state, loss)."""
-    fwd = model.forward
+    """Single-device jitted train step: (state, lr_imgs, hr_imgs) -> (state, loss).
+
+    The returned loss is a DEVICE scalar: fetching it per step would block
+    dispatch (and on this platform expose every step to the documented
+    100-550 s D2H stalls) — callers ``float()`` it when they actually log.
+    """
+    fwd = _differentiable_forward(model)
 
     @jax.jit
     def step(params, opt_state, lr_imgs, hr_imgs):
@@ -60,9 +78,9 @@ def make_train_step(model: Model, tx) -> Callable:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def apply(state: TrainState, lr_imgs, hr_imgs) -> Tuple[TrainState, float]:
+    def apply(state: TrainState, lr_imgs, hr_imgs) -> Tuple[TrainState, jnp.ndarray]:
         params, opt_state, loss = step(state.params, state.opt_state, lr_imgs, hr_imgs)
-        return TrainState(params, opt_state, state.step + 1), float(loss)
+        return TrainState(params, opt_state, state.step + 1), loss
 
     return apply
 
@@ -81,9 +99,11 @@ def make_sharded_train_step(
     conv stack spatially and inserts halo exchanges + grad psums on ICI.
 
     Returns ``step(params, opt_state, lr_imgs, hr_imgs) -> (params,
-    opt_state, loss)`` (jitted; feed numpy or pre-sharded arrays).
+    opt_state, loss)`` (jitted; feed numpy or pre-sharded arrays).  For
+    TrainState/step bookkeeping compatible with the checkpoint API, wrap
+    with :func:`make_state_apply`.
     """
-    fwd = model.forward
+    fwd = _differentiable_forward(model)
     b = batch_axis if batch_axis in mesh.shape else None
     h = h_axis if h_axis in mesh.shape else None
     data_spec = NamedSharding(mesh, P(b, h, None, None))
@@ -104,6 +124,21 @@ def make_sharded_train_step(
         in_shardings=(repl, repl, data_spec, data_spec),
         out_shardings=(repl, repl, repl),
     )
+
+
+def make_state_apply(step_fn: Callable) -> Callable:
+    """Wrap a raw ``(params, opt_state, lr, hr) -> (params, opt_state,
+    loss)`` step (e.g. from :func:`make_sharded_train_step`) into the same
+    ``(TrainState, lr, hr) -> (TrainState, loss)`` contract as
+    :func:`make_train_step`, advancing ``state.step`` so checkpoint
+    directories (checkpoint.py ``step_{n}``) don't collapse onto step_0."""
+    def apply(state: TrainState, lr_imgs, hr_imgs):
+        params, opt_state, loss = step_fn(
+            state.params, state.opt_state, lr_imgs, hr_imgs
+        )
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return apply
 
 
 def synthesize_pairs(

@@ -21,12 +21,16 @@ def setup_logging(
     log_level: Optional[int] = None,
     log_dir: Optional[str] = None,
     input_name: Optional[str] = None,
+    stream=None,
 ) -> None:
+    """``stream``: console destination (default stdout, reference parity);
+    machine-output CLIs (vsr-compare --json) pass sys.stderr so stdout
+    stays parseable."""
     logging.basicConfig(
         level=log_level or logging.INFO,
         format=FORMAT,
         datefmt=DATEFMT,
-        stream=sys.stdout,
+        stream=stream or sys.stdout,
         force=True,
     )
     if log_dir and input_name:
@@ -37,4 +41,18 @@ def setup_logging(
         fh = logging.FileHandler(os.path.join(log_dir, stem + ".log"))
         fh.setFormatter(logging.Formatter(FORMAT))
         fh.setLevel(logging.DEBUG)
-        logging.getLogger().addHandler(fh)
+        root = logging.getLogger()
+        root.addHandler(fh)
+        # the per-video file really captures DEBUG (the reference's
+        # identical setLevel was dead code: its root logger filtered at
+        # INFO before any handler saw the record, upscale_processing.py:
+        # 790-807) — console handlers keep the requested console level
+        console_level = log_level or logging.INFO
+        for h in root.handlers:
+            if h is not fh and h.level < console_level:
+                h.setLevel(console_level)
+        root.setLevel(min(logging.DEBUG, root.level))
+        # a DEBUG root would also unmute third-party debug firehoses
+        # (jax logs through its own handlers, bypassing ours)
+        if (log_level or logging.INFO) > logging.DEBUG:
+            logging.getLogger("jax").setLevel(logging.INFO)
