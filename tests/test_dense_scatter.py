@@ -150,3 +150,75 @@ def test_scatter_with_pallas_path(rng):
         )(m.params, x)
     ).astype(np.float32)
     np.testing.assert_allclose(y_pal, y_ref, atol=0.15, rtol=0.1)
+
+
+def test_scatter_fuzz_random_dense_graphs(rng):
+    """Property test: on randomized dense-block graphs (random source
+    widths, random concat subsets/orders, direct convs sharing roots,
+    promotable 1x1s, random activations), scatter execution must equal
+    gather execution in f32.  Hardens the planner against shapes the
+    hand-built Valar census doesn't cover."""
+    from upscale_video_tpu.models.param_parser import NcnnGraph, NcnnLayer
+
+    for trial in range(6):
+        trng = np.random.default_rng(100 + trial)
+        layers = [NcnnLayer("Input", "input", [], ["input"])]
+        uid = [0]
+
+        def conv(src, cin, cout, k=3, act=None):
+            attrs = {0: cout, 1: k, 6: cout * cin * k * k, 5: 1}
+            if k == 3:
+                attrs[4] = 1
+            if act is not None:
+                attrs[9] = int(act)
+                if act == 2:
+                    attrs[10] = [0.2]
+            out = f"t{uid[0]}"
+            name = f"conv{uid[0]}"
+            uid[0] += 1
+            layers.append(NcnnLayer("Convolution", name, [src], [out], attrs))
+            return out, cout
+
+        def cat(srcs):
+            out = f"t{uid[0]}"
+            name = f"cat{uid[0]}"
+            uid[0] += 1
+            layers.append(NcnnLayer("Concat", name, list(srcs), [out], {0: 0}))
+            return out
+
+        # random dense chain: sources accumulate, each conv eats a concat
+        # of a random subset (always including the newest source)
+        sources = [("input", 3)]
+        for step in range(int(trng.integers(2, 5))):
+            k_sub = int(trng.integers(1, len(sources) + 1))
+            idxs = sorted(trng.choice(len(sources), size=k_sub, replace=False))
+            if len(sources) - 1 not in idxs:
+                idxs[-1] = len(sources) - 1
+            parts = [sources[i] for i in idxs]
+            src = cat([p[0] for p in parts]) if len(parts) > 1 else parts[0][0]
+            cin = sum(p[1] for p in parts)
+            cout = int(trng.choice([4, 8, 12]))
+            act = int(trng.choice([0, 1, 2]))
+            out, cout = conv(src, cin, cout, act=act)
+            sources.append((out, cout))
+        # a direct conv reading an existing root (joins the scatter group)
+        root, rw = sources[int(trng.integers(0, len(sources)))]
+        d_out, d_c = conv(root, rw, 8, act=1)
+        # a promotable 1x1 off another root
+        root2, rw2 = sources[int(trng.integers(0, len(sources)))]
+        s_out, s_c = conv(root2, rw2, 8, k=1)
+        # combine everything into one output (eltwise-style adds)
+        final = cat([sources[-1][0], d_out, s_out])
+        out, _ = conv(final, sources[-1][1] + d_c + s_c, 4)
+
+        g = NcnnGraph(layers, 2)
+        params = synthesize_weights(g, seed=trial)
+        x = rng.uniform(0, 1, (1, 6, 9, 3)).astype(np.float32)
+        f_gather = build_forward(g, compute_dtype=jnp.float32,
+                                 dense_scatter=False)
+        f_scatter = build_forward(g, compute_dtype=jnp.float32,
+                                  dense_scatter=True)
+        y1 = np.asarray(f_gather(params, x))
+        y2 = np.asarray(f_scatter(params, x))
+        np.testing.assert_allclose(y1, y2, atol=2e-5, rtol=1e-5,
+                                   err_msg=f"trial {trial}")
