@@ -69,6 +69,10 @@ def planar_to_frames(p: np.ndarray, s: int) -> np.ndarray:
     dim and measured ~6.5-14 ms/frame of device relayout at 4K; on the
     host it is one C-contiguous transpose-copy (~the cost of a memcpy),
     running on the sink thread where it overlaps device compute.
+
+    Hardware parity evidence: bit-exact (maxdiff 0) vs the standard emit
+    path on the real chip with the real 2x AND 4x Compact pretrained
+    weights (bf16); <=1 u8 LSB guaranteed in general (see executor).
     """
     p = np.asarray(p)
     if p.ndim == 4:
