@@ -12,6 +12,7 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -214,18 +215,29 @@ int pipeio_writer_submit(void *h, const uint8_t *data) {
   return 0;
 }
 
-// Waits until every submitted frame reached the pipe. 0 ok, -2 error.
-int pipeio_writer_flush(void *h) {
+// Waits until every submitted frame reached the pipe, at most timeout_ms
+// (<=0 means a generous default).  0 ok, -1 timeout (encoder wedged and
+// not draining — slots still filled), -2 writer error.  Bounded so that
+// close() can always reach pipeio_close's stop flag (an unbounded wait
+// here dead-locked against a stalled encoder: stop is only set AFTER
+// flush returns).
+int pipeio_writer_flush_timeout(void *h, long timeout_ms) {
   Ring *r = static_cast<Ring *>(h);
+  if (timeout_ms <= 0) timeout_ms = 120000;
   std::unique_lock<std::mutex> lk(r->mu);
-  r->cv.wait(lk, [r] {
-    if (r->error) return true;
-    for (int i = 0; i < r->n_buffers; ++i)
-      if (r->filled[i]) return false;
-    return true;
-  });
-  return r->error ? -2 : 0;
+  bool done = r->cv.wait_for(
+      lk, std::chrono::milliseconds(timeout_ms), [r] {
+        if (r->error) return true;
+        for (int i = 0; i < r->n_buffers; ++i)
+          if (r->filled[i]) return false;
+        return true;
+      });
+  if (r->error) return -2;
+  return done ? 0 : -1;
 }
+
+// Back-compat alias (default timeout).
+int pipeio_writer_flush(void *h) { return pipeio_writer_flush_timeout(h, 0); }
 
 int pipeio_has_error(void *h) {
   Ring *r = static_cast<Ring *>(h);

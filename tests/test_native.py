@@ -209,3 +209,33 @@ class TestPlanarInterleave:
             ).reshape(12, 20, 3) for f in p
         ])
         np.testing.assert_array_equal(got, want)
+
+
+def test_writer_surfaces_lost_frames():
+    """When the consumer vanishes (EPIPE), submitted frames can't all be
+    delivered — write() or close() must raise instead of silently
+    dropping the ring tail (round-2 review: a short fragment would be
+    trusted as complete by resume+concat)."""
+    import os
+
+    from upscale_video_tpu.native.pipeio import NativePipeWriter
+
+    r, w = os.pipe()
+    writer = NativePipeWriter(w, 1 << 16, n_buffers=2)
+    os.close(r)  # no reader: writes hit EPIPE
+    frame = np.zeros(1 << 16, np.uint8)
+    raised = False
+    try:
+        for _ in range(6):
+            writer.write(frame)
+    except IOError:
+        raised = True
+    if not raised:
+        with pytest.raises(IOError):
+            writer.close()
+    else:
+        try:
+            writer.close()
+        except IOError:
+            pass
+    os.close(w)

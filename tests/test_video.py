@@ -366,3 +366,38 @@ def test_png_dir_probe_ignores_stage_artifacts(tmp_path):
     Image.new("RGB", (8, 6)).save(d / "thumb.cover.png")
     info = HermeticBackend().probe(str(d), str(tmp_path))
     assert info["number_of_frames"] == 3
+
+
+def test_y4m_skip_detects_truncation(tmp_path):
+    """skip() must not count a frame whose plane bytes are missing —
+    a relative seek lands past EOF silently (probe counts via skip)."""
+    from fractions import Fraction
+
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+    path = str(tmp_path / "t.y4m")
+    with Y4MSink(path, 8, 6, Fraction(24, 1)) as s:
+        for _ in range(3):
+            s.write(np.zeros((6, 8, 3), np.uint8))
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size - 10)  # cut into the last frame's planes
+    src = Y4MSource(path)
+    assert src.skip(2) == 2
+    with pytest.raises(ValueError, match="truncated"):
+        src.skip(1)
+    src.close()
+
+
+def test_pipe_sink_rejects_non_uint8(tmp_path):
+    """A float frame on the rawvideo pipe would emit 4x the bytes and
+    silently desynchronize ffmpeg's rgb24 framing."""
+    from fractions import Fraction
+
+    from upscale_video_tpu.video.io import FfmpegPipeSink
+
+    sink = FfmpegPipeSink.__new__(FfmpegPipeSink)  # no process needed:
+    sink.width, sink.height = 4, 3                 # write() validates first
+    sink._native = None
+    with pytest.raises(ValueError, match="uint8"):
+        sink.write(np.zeros((3, 4, 3), np.float32))

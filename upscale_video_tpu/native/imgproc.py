@@ -19,8 +19,6 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
 _LIB_NAME = "libimgproc.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

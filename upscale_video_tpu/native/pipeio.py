@@ -18,8 +18,6 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
 _LIB_NAME = "libpipeio.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -57,6 +55,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.pipeio_writer_flush.restype = ctypes.c_int
         lib.pipeio_writer_flush.argtypes = [ctypes.c_void_p]
+        lib.pipeio_writer_flush_timeout.restype = ctypes.c_int
+        lib.pipeio_writer_flush_timeout.argtypes = [
+            ctypes.c_void_p, ctypes.c_long
+        ]
         lib.pipeio_has_error.restype = ctypes.c_int
         lib.pipeio_has_error.argtypes = [ctypes.c_void_p]
         lib.pipeio_close.argtypes = [ctypes.c_void_p]
@@ -126,15 +128,31 @@ class NativePipeWriter:
         if self._lib.pipeio_writer_submit(self._h, ptr) != 0:
             raise IOError("native pipe writer error")
 
-    def flush(self) -> None:
-        if self._lib.pipeio_writer_flush(self._h) != 0:
+    def flush(self, timeout_ms: int = 0) -> None:
+        rc = self._lib.pipeio_writer_flush_timeout(self._h, timeout_ms)
+        if rc == -1:
+            raise IOError("native pipe writer flush timed out "
+                          "(encoder not draining)")
+        if rc != 0:
             raise IOError("native pipe writer error on flush")
 
     def close(self) -> None:
+        """Flush then tear down.  Raises if submitted frames could NOT be
+        delivered (writer error or wedged encoder) — silently dropping
+        ring-tail frames would leave a short fragment that resume and
+        concat trust as complete."""
         if self._h:
-            self._lib.pipeio_writer_flush(self._h)
+            rc = self._lib.pipeio_writer_flush_timeout(self._h, 0)
             self._lib.pipeio_close(self._h)
             self._h = None
+            if rc == -1:
+                raise IOError("native pipe writer close: flush timed out "
+                              "(encoder not draining)")
+            if rc != 0:
+                raise IOError(
+                    "native pipe writer error: not all frames reached the "
+                    "encoder"
+                )
 
     def __enter__(self):
         return self

@@ -170,8 +170,15 @@ class Y4MSource(FrameSource):
             if not marker.startswith(b"FRAME"):
                 raise ValueError(f"bad frame marker {marker!r}")
             try:
-                self._f.seek(frame_bytes, 1)
-            except (OSError, ValueError):  # non-seekable (pipe) fallback
+                # a relative seek happily lands past EOF: verify the frame's
+                # bytes exist so a truncated file raises here exactly like
+                # the read path (probe counts frames via skip)
+                cur = self._f.tell()
+                end = self._f.seek(0, 2)
+                if end - cur < frame_bytes:
+                    raise ValueError("truncated y4m frame")
+                self._f.seek(cur + frame_bytes)
+            except OSError:  # non-seekable (pipe) fallback
                 if len(self._f.read(frame_bytes)) != frame_bytes:
                     raise ValueError("truncated y4m frame")
             done += 1
@@ -381,13 +388,24 @@ class FfmpegPipeSource(FrameSource):
             )
 
             if native_available():
-                self._native = NativePipeReader(
-                    self._proc.stdout.fileno(), self._frame_bytes
-                )
+                try:
+                    self._native = NativePipeReader(
+                        self._proc.stdout.fileno(), self._frame_bytes
+                    )
+                except Exception:
+                    # never leak a live decoder writing into an unread pipe
+                    self._proc.terminate()
+                    self._proc.wait()
+                    raise
 
     def read(self) -> Optional[np.ndarray]:
         if self._native is not None:
-            flat = self._native.read()
+            try:
+                flat = self._native.read()
+            except IOError as e:
+                raise IOError(
+                    f"{e}: {self._stderr.tail()[-500:]}"
+                ) from e
             if flat is None:
                 return None
             return flat.reshape(self.height, self.width, 3)
@@ -446,27 +464,50 @@ class FfmpegPipeSink(FrameSink):
             )
 
             if native_available():
-                self._native = NativePipeWriter(
-                    self._proc.stdin.fileno(), width * height * 3
-                )
+                try:
+                    self._native = NativePipeWriter(
+                        self._proc.stdin.fileno(), width * height * 3
+                    )
+                except Exception:
+                    self._proc.terminate()
+                    self._proc.wait()
+                    raise
 
     def write(self, frame: np.ndarray) -> None:
         if frame.shape != (self.height, self.width, 3):
             raise ValueError(f"frame shape {frame.shape} != sink geometry")
+        if frame.dtype != np.uint8:
+            # the rawvideo pipe is rgb24: a float frame would emit 4x the
+            # bytes and silently desynchronize ffmpeg's framing
+            raise ValueError(f"frame dtype {frame.dtype} != uint8")
         if self._native is not None:
             self._native.write(frame)
             return
         self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
 
     def close(self) -> None:
+        native_err: Optional[BaseException] = None
         if self._native is not None:
-            self._native.close()
+            try:
+                self._native.close()  # raises if ring-tail frames were lost
+            except BaseException as e:
+                native_err = e
             self._native = None
-        self._proc.stdin.close()
+        try:
+            self._proc.stdin.close()
+        except BrokenPipeError:
+            pass  # encoder died: wait() + stderr below carry the real error
         ret = self._proc.wait()
         if ret != 0:
             raise IOError(
                 f"ffmpeg encoder failed ({ret}): {self._stderr.tail()[-500:]}"
+            )
+        if native_err is not None:
+            # encoder exited 0 but not every submitted frame reached it —
+            # the fragment on disk is short; surface it so the caller's
+            # partial-fragment cleanup (process.py) deletes it
+            raise IOError(
+                f"{native_err}: {self._stderr.tail()[-500:]}"
             )
 
 
