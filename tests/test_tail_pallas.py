@@ -3,6 +3,8 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from upscale_video_tpu.ops.conv_pallas import ACT_PRELU
 import pytest
 
 from upscale_video_tpu.ops.tail_pallas import sr_tail_fused
@@ -63,10 +65,10 @@ class TestChainTail:
         x = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
         body = [
             {"weight": rng.normal(0, 0.2, (3, 3, 3, C)).astype(np.float32),
-             "bias": rng.normal(0, 0.05, C).astype(np.float32), "act": 3,
+             "bias": rng.normal(0, 0.05, C).astype(np.float32), "act": ACT_PRELU,
              "slope": rng.uniform(0.1, 0.3, C).astype(np.float32)},
             {"weight": rng.normal(0, 0.2, (3, 3, C, C)).astype(np.float32),
-             "bias": rng.normal(0, 0.05, C).astype(np.float32), "act": 3,
+             "bias": rng.normal(0, 0.05, C).astype(np.float32), "act": ACT_PRELU,
              "slope": rng.uniform(0.1, 0.3, C).astype(np.float32)},
         ]
         w = jnp.asarray(

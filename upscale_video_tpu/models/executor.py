@@ -928,14 +928,18 @@ def build_forward(
             for item in plan["items"]:
                 lp = params[item["name"]]
                 spec = {"weight": lp["weight"], "bias": lp.get("bias")}
+                from upscale_video_tpu.ops.conv_pallas import (
+                    ACT_LEAKY as _LK, ACT_PRELU as _PR, ACT_RELU as _RL,
+                )
+
                 if item["prelu"] is not None:
                     spec["slope"] = params[item["prelu"]]["slope"]
-                    spec["act"] = 3
-                elif item["act"] == 2:  # fused leaky-relu (attr 9=2)
+                    spec["act"] = _PR
+                elif item["act"] == 2:  # ncnn fused leaky-relu (attr 9=2)
                     spec["slope"] = jnp.asarray(item["slope_attr"], jnp.float32)
-                    spec["act"] = 2
-                elif item["act"] == 1:
-                    spec["act"] = 1
+                    spec["act"] = _LK
+                elif item["act"] == 1:  # ncnn relu
+                    spec["act"] = _RL
                 specs.append(spec)
             tail = plan.get("tail")
             if tail is None:

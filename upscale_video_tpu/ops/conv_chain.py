@@ -33,14 +33,18 @@ zero crops when the fused SR tail consumes the chain layout directly —
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from upscale_video_tpu.ops.common import CHAIN_TILE_H, CHAIN_TILE_W, round_up
+from upscale_video_tpu.ops.conv_pallas import (
+    ACT_LEAKY, ACT_NONE, ACT_PRELU, ACT_RELU,
+)
 
 LANES = 128
 
@@ -49,7 +53,7 @@ class ChainLayer(NamedTuple):
     wmat: jnp.ndarray  # (9*cin, cout) bf16
     bias: jnp.ndarray  # (1, cout) f32
     slope: jnp.ndarray  # (1, cout) f32 (PReLU/leaky) or zeros
-    act: int  # 0 none, 1 relu, 2 leaky(slope[0,0]), 3 prelu(per-channel)
+    act: int  # conv_pallas encoding: ACT_NONE/ACT_PRELU/ACT_LEAKY/ACT_RELU
     cin: int
     cout: int
 
@@ -112,11 +116,11 @@ def _chain_kernel(w_ref, b_ref, s_ref, x_hbm, dst_ref, out_ref, win, sem,
 
     y = jnp.dot(patches, w_ref[:, :], preferred_element_type=jnp.float32)
     y = y + b_ref[0, :].astype(jnp.float32)
-    if act == 1:
+    if act == ACT_RELU:
         y = jnp.maximum(y, 0.0)
-    elif act == 2:
+    elif act == ACT_LEAKY:
         y = jnp.where(y >= 0, y, y * s_ref[0, 0].astype(jnp.float32))
-    elif act == 3:
+    elif act == ACT_PRELU:
         slope = s_ref[0, :].astype(jnp.float32)
         y = jnp.where(y >= 0, y, y * slope)
     cout = y.shape[-1]
@@ -175,8 +179,8 @@ def _chain_step(src, dst, layer: ChainLayer, th, tw, valid_h, valid_w,
 def _run_chain(x, wmats, biases, slopes, acts, tile_h, tile_w, interpret,
                crop=True):
     hgt, wid, cin0 = x.shape
-    th = min(tile_h, _round_up(hgt, 8))
-    tw = min(tile_w, _round_up(wid, 8))
+    th = min(tile_h, round_up(hgt, 8))
+    tw = min(tile_w, round_up(wid, 8))
     gy = -(-hgt // th)
     gx = -(-wid // tw)
     rows, cols = (gy + 2) * th, (gx + 2) * tw
@@ -209,16 +213,17 @@ def _run_chain(x, wmats, biases, slopes, acts, tile_h, tile_w, interpret,
 def conv3x3_chain(
     x: jnp.ndarray,
     layers: Sequence[dict],
-    tile_h: int = 48,
-    tile_w: int = 384,
+    tile_h: int = CHAIN_TILE_H,
+    tile_w: int = CHAIN_TILE_W,
     interpret: Optional[bool] = None,
     crop: bool = True,
 ) -> jnp.ndarray:
     """Run a stack of SAME 3x3 convs over one (H, W, C) image.
 
     ``layers``: dicts with ``weight`` (HWIO), optional ``bias``, ``slope``
-    (per-channel PReLU or 1-elem leaky), ``act`` (0 none / 1 relu /
-    2 leaky / 3 prelu).  Returns (H, W, cout_last) bf16 — or, with
+    (per-channel PReLU or 1-elem leaky), ``act`` — the conv_pallas
+    activation constants (ACT_NONE / ACT_PRELU / ACT_LEAKY / ACT_RELU;
+    ONE encoding shared by both kernel families).  Returns (H, W, cout_last) bf16 — or, with
     ``crop=False``, the full ring-layout array (data region at tile
     offset (1, 1)) for a fused consumer like the SR tail kernel.
     """
@@ -254,5 +259,3 @@ def conv3x3_chain_batch(x, layers, **kw):
     ])
 
 
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m

@@ -40,7 +40,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from upscale_video_tpu.ops.common import round_up
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -133,15 +134,15 @@ def conv3x3_fused(
     kh, kw, wcin, cout = w_hwio.shape
     assert (kh, kw) == (3, 3) and wcin == cin, "kernel expects 3x3 SAME conv"
 
-    th = min(tile_h, _round_up(hgt, 8))
-    tw = min(tile_w, _round_up(wid, 8))
+    th = min(tile_h, round_up(hgt, 8))
+    tw = min(tile_w, round_up(wid, 8))
     gy = -(-hgt // th)
     gx = -(-wid // tw)
 
     xb = x.astype(jnp.bfloat16)
     # conv zero padding (1px) + grid/alignment slack (zeros, cropped after);
     # channels padded to the 128-lane tiling so HBM DMA windows are legal
-    cin_p = _round_up(cin, 128)
+    cin_p = round_up(cin, 128)
     xp = jnp.pad(
         xb,
         ((1, gy * th + 1 - hgt), (1, gx * tw + 8 - 1 - wid), (0, cin_p - cin)),
@@ -198,5 +199,3 @@ def conv3x3_fused_batch(x, w_hwio, bias=None, slope=None, act=ACT_NONE, **kw):
     ])
 
 
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m

@@ -3,8 +3,11 @@
 The XLA formulation in :mod:`upscale_video_tpu.ops.nlmeans` walks 81 search
 offsets as separate fused passes; each pass re-reads the frame from HBM.
 This kernel DMAs ONE haloed tile into VMEM and computes all 81 offset
-weights in-register: HBM traffic drops to ~1.3x the frame size and the op
-stays VPU-bound.
+weights in-register: HBM read traffic is ~2.7x the frame size at the
+default tile_w=256 (the 128-lane DMA alignment forces a 2*128-column
+over-fetch per tile; a larger tile_w amortizes it) versus the XLA
+formulation's 81x — and the op stays VPU-bound either way (measured tie
+at 1080p, NOTES.md, because both are compute-bound).
 
 Mosaic constraints that shaped the kernel (discovered the hard way):
 
@@ -12,12 +15,13 @@ Mosaic constraints that shaped the kernel (discovered the hard way):
   tiling => the halo is over-fetched to aligned sizes and the tile window
   is made tall enough to cover every row offset, so all in-kernel slices
   are **static**.
-- dynamically-offset vector loads from VMEM are illegal => no fori_loop
-  over offsets; the 9x9 search is fully unrolled.
-- a fully-unrolled loop carrying live accumulator *values* overflows the
-  VMEM stack (81 iterations of temporaries stay live) => accumulators are
-  round-tripped through VMEM scratch refs after every row-offset group,
-  capping liveness at one group.
+- the 81 search offsets run in a ``fori_loop`` whose shifts are traced
+  values: ``pltpu.roll`` MISCOMPILES negative traced shifts silently on
+  hardware (interpret mode follows numpy and hides it) => shifts are the
+  modular complements ``(size - d) % size``, always non-negative.
+- accumulators are carried as loop values (the loop body keeps liveness
+  to one offset's temporaries; a FULLY unrolled search was tried first
+  and overflowed the VMEM stack with 81 live groups).
 
 Layout: planar (3, H, W) float32, W on lanes.  Semantics match
 ``nl_means_denoise`` (5x5 patch, 9x9 search, ``exp(-max(d-2s^2,0)/h^2)``
@@ -30,7 +34,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from upscale_video_tpu.ops.common import round_up
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -121,15 +126,23 @@ def nl_means_denoise_pallas(
     tile_w: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Denoise one (H, W, C) frame in [0,1]; drop-in for
-    :func:`upscale_video_tpu.ops.nlmeans.nl_means_denoise`.
+    """Denoise one (H, W, 3) RGB frame in [0,1]; drop-in for
+    :func:`upscale_video_tpu.ops.nlmeans.nl_means_denoise` on 3-channel
+    frames (the kernel's accumulators are built for exactly 3 planes —
+    matching the reference's fastNlMeansDenoisingColored, which is also
+    colour-only).
 
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
     tests).  Frames are padded up to the tile grid and cropped back.
     """
     hgt, wid, ch = img.shape
-    th = min(tile_h, _round_up(hgt, 8))
-    tw = min(tile_w, _round_up(wid, 128))
+    if ch != 3:
+        raise ValueError(
+            f"nl_means_denoise_pallas handles 3-channel frames, got {ch} "
+            "(use ops.nlmeans.nl_means_denoise for other channel counts)"
+        )
+    th = min(tile_h, round_up(hgt, 8))
+    tw = min(tile_w, round_up(wid, 128))
     gy = -(-hgt // th)
     gx = -(-wid // tw)
 
@@ -180,5 +193,3 @@ def nl_means_denoise_pallas(
     return out.transpose(1, 2, 0)[:hgt, :wid, :]
 
 
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m

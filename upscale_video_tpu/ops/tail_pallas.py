@@ -21,7 +21,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from upscale_video_tpu.ops.common import CHAIN_TILE_H, CHAIN_TILE_W, round_up
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -100,12 +101,12 @@ def sr_tail_fused(
     kh, kw, wcin, cout = w_hwio.shape
     assert (kh, kw) == (3, 3) and wcin == cin and cout == 3 * scale * scale
 
-    th = min(tile_h, _round_up(hgt, 8))
-    tw = min(tile_w, _round_up(wid, 8))
+    th = min(tile_h, round_up(hgt, 8))
+    tw = min(tile_w, round_up(wid, 8))
     gy = -(-hgt // th)
     gx = -(-wid // tw)
 
-    cin_p = _round_up(cin, 128)
+    cin_p = round_up(cin, 128)
     up = jnp.pad(
         u.astype(jnp.bfloat16),
         ((1, gy * th + 1 - hgt), (1, gx * tw + 8 - 1 - wid), (0, cin_p - cin)),
@@ -230,8 +231,8 @@ def sr_tail_fused_chain(
     scale: int,
     hgt: int,
     wid: int,
-    tile_h: int = 48,
-    tile_w: int = 384,
+    tile_h: int = CHAIN_TILE_H,
+    tile_w: int = CHAIN_TILE_W,
     emit_u8: bool = False,
     reverse_channels: bool = False,
     interpret: bool = False,
@@ -252,10 +253,20 @@ def sr_tail_fused_chain(
     Returns (H*scale, W*scale, 3) — uint8 when ``emit_u8`` else float32.
     """
     rows, cols, lanes = arr.shape
-    th = min(tile_h, _round_up(hgt, 8))
-    tw = min(tile_w, _round_up(wid, 8))
+    th = min(tile_h, round_up(hgt, 8))
+    tw = min(tile_w, round_up(wid, 8))
+    # the ring array carries no metadata: verify the caller's tiles match
+    # the conv3x3_chain call that produced it (a mismatch would DMA
+    # misaligned windows of valid data and corrupt the output silently)
+    assert lanes == 128 and rows % th == 0 and cols % tw == 0, (
+        f"ring layout {arr.shape} does not match tile_h={th}, tile_w={tw} "
+        f"(pass the SAME tiles as the producing conv3x3_chain call)"
+    )
     gy = rows // th - 2
     gx = cols // tw - 2
+    assert gy >= 1 and gx >= 1 and gy * th >= hgt and gx * tw >= wid, (
+        f"ring grid {gy}x{gx} (tiles {th}x{tw}) cannot cover {hgt}x{wid}"
+    )
     kh, kw, cin, cout = w_hwio.shape
     assert (kh, kw) == (3, 3) and cin <= lanes and cout == 3 * scale * scale
 
@@ -318,5 +329,3 @@ def sr_tail_fused_batch(u, rgb, w_hwio, bias, scale=2, **kw):
     ])
 
 
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
