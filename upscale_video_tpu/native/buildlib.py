@@ -9,8 +9,10 @@ it used to live duplicated (and drifting: only imgproc had the
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import os
+import platform
 import shutil
 import subprocess
 from typing import List, Optional
@@ -19,6 +21,29 @@ log = logging.getLogger(__name__)
 
 NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native")
+
+
+def _isa_tag() -> str:
+    """Short fingerprint of the host ISA for the build-cache file name.
+
+    Builds use ``-march=native``, so a cached .so migrated to a host with
+    an older ISA (shared ~/.cache or a copied tree) would SIGILL with no
+    rebuild trigger.  Embedding the CPU feature fingerprint in the name
+    makes an ISA mismatch a cache miss instead.
+    """
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(
+        (platform.machine() + feats).encode()
+    ).hexdigest()[:10]
+    return digest
 
 
 def build_library(src_name: str, lib_name: str,
@@ -34,6 +59,8 @@ def build_library(src_name: str, lib_name: str,
     if not os.path.exists(src):
         log.warning("native source %s missing", src)
         return None
+    root, ext = os.path.splitext(lib_name)
+    lib_name = f"{root}-{_isa_tag()}{ext}"
     out = os.path.join(NATIVE_DIR, lib_name)
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out

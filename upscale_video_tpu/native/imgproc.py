@@ -117,7 +117,12 @@ def planar_interleave(p: np.ndarray, s: int, threads: int = 0) -> np.ndarray:
         raise RuntimeError("native imgproc unavailable (no compiler)")
     p = np.ascontiguousarray(p, dtype=np.uint8)
     h, w, c = p.shape
-    assert c == 3 * s * s, (p.shape, s)
+    if c != 3 * s * s:
+        # must survive `python -O`: a wrong shuffle factor would feed the C
+        # loop a wrong in_px stride and read past the input buffer
+        raise ValueError(
+            f"planar frame has {c} channels, expected 3*{s}*{s}={3 * s * s}"
+        )
     out = np.empty((h * s, w * s, 3), np.uint8)
     lib.imgproc_planar_interleave(
         _u8p(p), _u8p(out), h, w, s, threads or _DEF_THREADS,

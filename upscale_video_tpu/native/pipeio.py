@@ -110,12 +110,21 @@ class NativePipeReader:
 class NativePipeWriter:
     """Writes fixed-size frames to a file descriptor via the C++ ring."""
 
-    def __init__(self, fd: int, frame_bytes: int, n_buffers: int = 4):
+    def __init__(self, fd: int, frame_bytes: int, n_buffers: int = 4,
+                 flush_timeout_ms: Optional[int] = None):
         lib = _get_lib()
         if lib is None:
             raise RuntimeError("native pipeio unavailable (no compiler)")
         self._lib = lib
         self.frame_bytes = frame_bytes
+        # drain deadline before declaring the encoder wedged: scale with
+        # ring depth so a legitimately slow (not stuck) software encoder —
+        # e.g. AV1 at tens of seconds/frame draining n_buffers pending
+        # frames — is not misclassified and its fragment deleted
+        self.flush_timeout_ms = (
+            flush_timeout_ms if flush_timeout_ms
+            else 120_000 + 60_000 * n_buffers
+        )
         self._h = lib.pipeio_writer_open(fd, frame_bytes, n_buffers)
         if not self._h:
             raise RuntimeError("pipeio_writer_open failed")
@@ -129,7 +138,9 @@ class NativePipeWriter:
             raise IOError("native pipe writer error")
 
     def flush(self, timeout_ms: int = 0) -> None:
-        rc = self._lib.pipeio_writer_flush_timeout(self._h, timeout_ms)
+        rc = self._lib.pipeio_writer_flush_timeout(
+            self._h, timeout_ms or self.flush_timeout_ms
+        )
         if rc == -1:
             raise IOError("native pipe writer flush timed out "
                           "(encoder not draining)")
@@ -142,7 +153,9 @@ class NativePipeWriter:
         ring-tail frames would leave a short fragment that resume and
         concat trust as complete."""
         if self._h:
-            rc = self._lib.pipeio_writer_flush_timeout(self._h, 0)
+            rc = self._lib.pipeio_writer_flush_timeout(
+                self._h, self.flush_timeout_ms
+            )
             self._lib.pipeio_close(self._h)
             self._h = None
             if rc == -1:

@@ -78,7 +78,10 @@ def planar_to_frames(p: np.ndarray, s: int) -> np.ndarray:
     if p.ndim == 4:
         return np.stack([planar_to_frames(f, s) for f in p])
     h, w, c = p.shape
-    assert c % (s * s) == 0, (p.shape, s)
+    if c % (s * s):
+        # survives `python -O` (a wrong factor would mis-stride the
+        # interleave and corrupt or overrun the buffers)
+        raise ValueError(f"{c} planes not divisible by s*s for s={s}")
     co = c // (s * s)
     if co == 3 and p.dtype == np.uint8:
         # native path: threaded strided memcpy (~3x the numpy transpose,

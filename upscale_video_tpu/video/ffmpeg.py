@@ -166,18 +166,31 @@ def get_metadata(
             if input_file is not None and not info.get("width"):
                 frames_count = info.get("number_of_frames")
                 result = runner(probe_cmd(ffmpeg, input_file))
-                if result.returncode == 0:
-                    fresh = json.loads(result.stdout)
-                    fresh.update(
-                        {k: v for k, v in info.items()
-                         if k not in ("streams", "format")}
+                if result.returncode != 0:
+                    # fail HERE, not obscurely downstream where a persisted
+                    # width=0 would turn into out_w/out_h = 0
+                    raise RuntimeError(
+                        f"geometry re-probe of {input_file!r} failed "
+                        f"(reference metadata cache lacks width/height): "
+                        f"{result.stderr}"
                     )
-                    info = fresh
-                    if frames_count is not None:
-                        info["number_of_frames"] = frames_count
+                fresh = json.loads(result.stdout)
+                fresh.update(
+                    {k: v for k, v in info.items()
+                     if k not in ("streams", "format")}
+                )
+                info = fresh
+                if frames_count is not None:
+                    info["number_of_frames"] = frames_count
             _derive_metadata_fields(info)
+            # never persist unknown geometry: a cached width=0 would mask
+            # the miss and skip the re-probe on the next call
+            persist = dict(info)
+            if not persist.get("width"):
+                persist.pop("width", None)
+                persist.pop("height", None)
             with open(cache, "w") as f:
-                json.dump(info, f)
+                json.dump(persist, f)
         log.info("metadata cache hit: %d frames", info["number_of_frames"])
         return info
     if input_file is None:

@@ -440,7 +440,8 @@ class FfmpegPipeSink(FrameSink):
     def __init__(self, ffmpeg: str, output_file: str, width: int, height: int,
                  frame_rate: Fraction, encoder: str = "libx264",
                  pix_fmt: str = "yuv420p", global_quality: Optional[int] = 20,
-                 extra_args: Optional[List[str]] = None, native: bool = True):
+                 extra_args: Optional[List[str]] = None, native: bool = True,
+                 flush_timeout_ms: Optional[int] = None):
         self.width, self.height = width, height
         fr = Fraction(frame_rate)
         cmds = [ffmpeg, "-hide_banner", "-loglevel", "error", "-y",
@@ -466,7 +467,8 @@ class FfmpegPipeSink(FrameSink):
             if native_available():
                 try:
                     self._native = NativePipeWriter(
-                        self._proc.stdin.fileno(), width * height * 3
+                        self._proc.stdin.fileno(), width * height * 3,
+                        flush_timeout_ms=flush_timeout_ms,
                     )
                 except Exception:
                     self._proc.terminate()
