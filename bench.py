@@ -37,6 +37,23 @@ import tempfile
 import time
 
 
+PEAK_TFLOPS_BF16 = 197.0  # TPU v5e (v5 lite) chip peak, bf16
+
+
+def _step_flops(step_fn, x) -> float:
+    """XLA's own FLOP count for the exact shipped step program (whole
+    batch).  0.0 when the platform exposes no cost analysis."""
+    import jax
+
+    try:
+        analysis = jax.jit(step_fn).lower(x).compile().cost_analysis()
+        if isinstance(analysis, list):  # older jax returns [dict]
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def build_args():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["device", "pipeline"], default="device")
@@ -118,16 +135,26 @@ def run_device_mode(args) -> float:
     t2 = statistics.median([_timed(lambda: int(c2(x))) for _ in range(args.reps)])
     per_frame = (t2 - t1) / ((k2 - k1) * args.batch)
 
+    # effective TFLOP/s + MFU ride the bench contract (round-2 verdict:
+    # round-over-round comparability must not rely on prose) — FLOPs are
+    # XLA's own count for the exact shipped program
+    flops = _step_flops(step_fn, x)
+    extras = {}
+    if flops:
+        extras["tflops"] = round(flops / args.batch / per_frame / 1e12, 1)
+        if args.precision == "bf16":
+            extras["mfu"] = round(
+                flops / args.batch / per_frame / 1e12 / PEAK_TFLOPS_BF16, 3
+            )
     if args.verbose:
         print(
             f"t(K={k1})={t1*1000:.0f} ms, t(K={k2})={t2*1000:.0f} ms -> "
             f"{per_frame*1000:.2f} ms/frame "
             f"({args.height}x{args.width} -> {args.height*2}x{args.width*2}, "
-            f"{args.precision}, conv_impl={args.conv_impl}); "
-            f"~{2.48/per_frame:.0f} TFLOP/s effective",
+            f"{args.precision}, conv_impl={args.conv_impl}); extras={extras}",
             file=sys.stderr,
         )
-    return 1.0 / per_frame
+    return 1.0 / per_frame, extras
 
 
 def _make_clip(path: str, height: int, width: int, n_frames: int) -> None:
@@ -185,7 +212,10 @@ def run_pipeline_mode(args) -> float:
 def main() -> int:
     args = build_args().parse_args()
 
-    fps = run_device_mode(args) if args.mode == "device" else run_pipeline_mode(args)
+    if args.mode == "device":
+        fps, extras = run_device_mode(args)
+    else:
+        fps, extras = run_pipeline_mode(args), {}
 
     baseline_fps = 1.4  # README.md:149 (Arc A750, 1920x800 2x)
     suffix = "" if args.mode == "device" else "_pipeline"
@@ -194,6 +224,7 @@ def main() -> int:
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 2),
+        **extras,
     }))
     return 0
 

@@ -10,7 +10,6 @@ from upscale_video_tpu.models.executor import build_forward
 from upscale_video_tpu.models.zoo import make_srvgg_graph
 from upscale_video_tpu.ops.nlmeans import nl_means_denoise, nl_means_denoise_batch
 from upscale_video_tpu.ops.pixel import (
-    bucket_shape,
     frames_to_model,
     model_to_frames,
     pad_to_multiple,
@@ -53,9 +52,6 @@ class TestPixel:
         up2 = jnp.repeat(jnp.repeat(xp, 2, axis=0), 2, axis=1)
         y = unpad(up2, pads, scale=2)
         assert y.shape == (10, 12, 3)
-
-    def test_bucket(self):
-        assert bucket_shape(1080, 1920, 64) == (1088, 1920)
 
     def test_psnr(self):
         a = np.zeros((4, 4))

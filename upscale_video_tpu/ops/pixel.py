@@ -125,12 +125,6 @@ def unpad(y: jnp.ndarray, pads: Tuple[int, int], scale: int = 1) -> jnp.ndarray:
     return y[..., :h, :w, :]
 
 
-def bucket_shape(h: int, w: int, grid: int = 64) -> Tuple[int, int]:
-    """Round a frame geometry up to a compile-shape bucket."""
-    r = lambda v: ((v + grid - 1) // grid) * grid
-    return r(h), r(w)
-
-
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
     """PSNR in dB between two images/arrays (quality gate metric,
     BASELINE.md north star: <=1e-2 PSNR delta)."""

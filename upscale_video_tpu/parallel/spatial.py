@@ -99,6 +99,39 @@ def spatial_forward(
     return run(params, x)
 
 
+def sp_sharded_fn(fn: Callable, mesh: Mesh, axis: str = "sp") -> Callable:
+    """The SHIPPED ``--parallel sp`` path: GSPMD row sharding of a frames
+    program (uint8 (N, H, W, C) in, uint8 frames or planes out).
+
+    The H axis is sharded over ``mesh[axis]`` and ``fn`` is jitted with
+    matching in/out shardings — XLA/GSPMD inserts the per-conv halo
+    exchanges on ICI (exact math, unlike the fixed-halo approximation of
+    :func:`spatial_forward`, which remains the explicit-collective
+    formulation of the same axis; tests/test_parallel.py holds the two
+    equivalent).  H not divisible by the axis size — e.g. the reference's
+    own 800-row Blu-ray (README.md:149) on a 3-chip mesh — is edge-padded
+    to the next multiple (``ops.pixel.pad_to_multiple``) and the padding
+    cropped after, scaled by the program's own H ratio so the full-frame
+    (scale*H) and shuffle-planar (H) output contracts both crop correctly.
+    """
+    from upscale_video_tpu.ops.pixel import pad_to_multiple
+
+    n = mesh.shape[axis]
+    spec = NamedSharding(mesh, P(None, axis, None, None))
+    jitted = jax.jit(fn, in_shardings=spec, out_shardings=spec)
+
+    def _sp_step(frames_u8):
+        h = frames_u8.shape[1]
+        padded, (ph, _) = pad_to_multiple(jnp.asarray(frames_u8), n, 1)
+        y = jitted(jax.device_put(padded, spec))
+        if ph:
+            out_scale = y.shape[1] // (h + ph)
+            y = y[:, : y.shape[1] - ph * out_scale]
+        return y
+
+    return _sp_step
+
+
 def shard_frame_batch(x, mesh: Mesh, batch_axis: str = "dp", h_axis: str = "sp"):
     """Place a host (N,H,W,C) batch with N over dp and H over sp."""
     spec = P(

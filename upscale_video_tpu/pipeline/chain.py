@@ -312,28 +312,23 @@ class ChainEngine:
         mesh = getattr(self, "_mesh", None)
         mode = getattr(self, "_mesh_mode", "dp")
         if mesh is not None and mode == "sp":
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from upscale_video_tpu.parallel.spatial import sp_sharded_fn
 
-            spec = NamedSharding(mesh, P(None, "sp", None, None))
-            jitted = jax.jit(fn, in_shardings=spec, out_shardings=spec)
-
-            def _sp_step(frames_u8):
-                return jitted(jax.device_put(frames_u8, spec))
-
-            return _sp_step
+            return sp_sharded_fn(fn, mesh)
         if mesh is not None and mode == "tp":
             # channel-sharded weights, replicated activations: XLA places
             # the per-layer all-gathers on ICI (parallel/tensor.py)
             from jax.sharding import NamedSharding, PartitionSpec as P
             from upscale_video_tpu.parallel.tensor import (
-                shard_params_channelwise,
+                shard_params_channelwise, tensor_parallel_fn,
             )
 
+            self._warn_narrow_tp(mesh)
             for m in (self.anime_model, self.sr_model):
                 if m is not None:
                     m.params = shard_params_channelwise(m.params, mesh)
+            jitted = tensor_parallel_fn(fn, mesh)
             repl = NamedSharding(mesh, P())
-            jitted = jax.jit(fn, out_shardings=repl)
 
             def _tp_step(frames_u8):
                 return jitted(jax.device_put(frames_u8, repl))
@@ -344,6 +339,27 @@ class ChainEngine:
 
             return data_parallel_fn(fn, mesh)
         return jax.jit(fn)
+
+    def _warn_narrow_tp(self, mesh) -> None:
+        """Roofline guardrail for ``--parallel tp`` (NOTES.md): sharding
+        output channels across chips drops per-chip MXU lane fill below one
+        pass for sub-128-channel convs, so tp almost certainly trails dp/sp
+        for these models — say so instead of silently shipping the loss."""
+        widths = [
+            int(a.shape[-1])
+            for m in (self.anime_model, self.sr_model) if m is not None
+            for a in jax.tree_util.tree_leaves(m.params)
+            if getattr(a, "ndim", 0) == 4
+        ]
+        n = len(mesh.devices.flat)
+        if widths and max(widths) < 128 * n:
+            log.warning(
+                "--parallel tp: widest conv is %d channels over %d chips "
+                "(%d/chip < the 128-lane MXU pass) — measured roofline says "
+                "dp (throughput) or sp (latency) is almost certainly "
+                "faster for this model (NOTES.md tp study)",
+                max(widths), n, max(widths) // n,
+            )
 
     def use_chips(self, chips: Optional[str], mode: str = "dp") -> int:
         """Apply a ``-g`` chip multiset: returns the batch multiplier.

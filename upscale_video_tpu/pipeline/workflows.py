@@ -49,6 +49,7 @@ from upscale_video_tpu.video.frames import (
     frames_per_batch,
     has_sentinel,
     parse_frame_ranges,
+    stage_progress,
     write_sentinel,
 )
 
@@ -302,6 +303,10 @@ def fix_frames(
     crop = backend.crop_detect(input_file, info["duration"], workdir)
 
     frames = parse_frame_ranges(bad_frames)
+    # per-stage artifact census: tells the operator what state the repair
+    # starts from (which intermediates survive, how many finals exist)
+    log.info("stage artifacts present: %s",
+             stage_progress(workdir, info["number_of_frames"]))
 
     # a frame missing at EVERY stage must be re-extracted from the source
     # (reference fix_frames.py:127-152)
