@@ -120,3 +120,28 @@ class TestAsyncSink:
             sink.write(f)
         sink.close()
         assert len(inner.frames) == 10
+
+
+class TestHostPlaneSustain:
+    """The stream plane's host side must sustain the device rate (round-3
+    verdict item 3): PrefetchSource -> BatchedStepper(stub) -> AsyncSink
+    (planar interleave, reused buffer) at 4K geometry.  tools/
+    host_loadtest.py measures the full-resolution numbers recorded in
+    NOTES.md; this is the hermetic regression guard at reduced frame count
+    with a conservative floor (CI hosts are small and noisy)."""
+
+    def test_planar_loadtest_floor(self):
+        import argparse
+
+        from upscale_video_tpu.native.imgproc import native_available
+        from tools.host_loadtest import run
+
+        native_available()  # build the C library OUTSIDE the timed region
+        args = argparse.Namespace(
+            height=1080, width=1920, scale=2, frames=24, batch=4
+        )
+        fps = run(args, "null")
+        # measured 49-58 fps on the 1-core round-3 host; floor leaves 10x
+        # headroom for CI noise while still catching an O(N) regression
+        # (pre-fix state measured 3.9-8.3 fps)
+        assert fps > 10.0, f"host plane sustained only {fps:.1f} fps"

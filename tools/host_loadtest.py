@@ -1,0 +1,136 @@
+"""Host-plane load test: can the stream plane's host side sustain the
+device rate?  (VERDICT round-3 item 3a.)
+
+Replicates _run_stream_plane's host loop with the device stubbed out to an
+instant step: synthetic 1080p source -> PrefetchSource -> BatchedStepper
+(stub planar step) -> AsyncSink(planar interleave on the writer thread) ->
+sink.  What remains is exactly the host work the pipeline must overlap
+with device compute: queue hops, the 4K planar interleave
+(native/imgproc), and the sink's own encode cost.
+
+Sinks:
+- ``null``: swallow interleaved frames (isolates interleave + plumbing —
+  the production ffmpeg pipe sink writes raw RGB bytes to a pipe, so this
+  plus a memcpy is its host cost);
+- ``y4m``: hermetic Y4M encode incl. RGB->YCbCr conversion (an UPPER
+  bound: the ffmpeg plane does its own colour conversion in the encoder
+  process, not on our threads);
+- ``shm``: y4m into /dev/shm (adds the page-cache write).
+
+Prints per-config fps; NOTES.md records the measured numbers next to the
+device rate they must match.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from upscale_video_tpu.parallel.executor import AsyncSink, PrefetchSource
+from upscale_video_tpu.pipeline.chain import BatchedStepper
+from upscale_video_tpu.ops.pixel import planar_to_frames
+from upscale_video_tpu.video.io import FrameSink, FrameSource
+
+
+class SyntheticSource(FrameSource):
+    """Yields preallocated 1080p frames (rotating over a few buffers so
+    cache effects resemble real decode output, not one hot buffer)."""
+
+    def __init__(self, n_frames, h, w):
+        rng = np.random.default_rng(0)
+        self._bufs = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(4)
+        ]
+        self.width, self.height = w, h
+        self.frame_rate = 24
+        self.num_frames = n_frames
+        self._i = 0
+
+    def read(self):
+        if self._i >= self.num_frames:
+            return None
+        b = self._bufs[self._i % len(self._bufs)]
+        self._i += 1
+        return b
+
+    def close(self):
+        pass
+
+
+class NullSink(FrameSink):
+    def __init__(self):
+        self.frames = 0
+
+    def write(self, frame):
+        # touch one byte per page-ish to keep the array materialized
+        assert frame.dtype == np.uint8
+        self.frames += 1
+
+    def close(self):
+        pass
+
+
+def run(args, sink_kind):
+    h, w, s = args.height, args.width, args.scale
+    n = args.frames
+    src = PrefetchSource(SyntheticSource(n, h, w), depth=2 * args.batch)
+
+    if sink_kind == "null":
+        inner = NullSink()
+    else:
+        from fractions import Fraction
+
+        from upscale_video_tpu.video.io import Y4MSink
+
+        path = ("/dev/shm/loadtest.y4m" if sink_kind == "shm"
+                else "/dev/null")
+        inner = Y4MSink(path, w * s, h * s, Fraction(24, 1))
+    ibuf = np.empty((h * s, w * s, 3), np.uint8)
+    sink = AsyncSink(inner, depth=2 * args.batch,
+                     transform=lambda p: planar_to_frames(p, s, out=ibuf))
+
+    # stub device: instant planar output of the right geometry
+    out = np.random.default_rng(1).integers(
+        0, 256, (args.batch, h, w, 3 * s * s), dtype=np.uint8
+    )
+    stub = lambda chunk: out  # noqa: E731
+
+    stepper = BatchedStepper(stub, args.batch)
+    t0 = time.perf_counter()
+    wrote = 0
+    while True:
+        f = src.read()
+        if f is None:
+            break
+        for o in stepper.feed(f):
+            sink.write(o)
+            wrote += 1
+    for o in stepper.flush():
+        sink.write(o)
+        wrote += 1
+    sink.close()
+    src.close()
+    dt = time.perf_counter() - t0
+    print(
+        f"[{sink_kind}] {wrote} frames in {dt:.2f}s = {wrote/dt:.1f} fps "
+        f"host-plane ({h}x{w} -> {h*s}x{w*s})",
+        flush=True,
+    )
+    return wrote / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--scale", type=int, default=2)
+    p.add_argument("--frames", type=int, default=96)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--sinks", default="null,y4m,shm")
+    args = p.parse_args()
+    for kind in args.sinks.split(","):
+        run(args, kind)
+
+
+if __name__ == "__main__":
+    main()

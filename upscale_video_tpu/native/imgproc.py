@@ -73,15 +73,21 @@ def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
 
 
-def rgb_to_ycbcr444(rgb: np.ndarray, threads: int = 0) -> np.ndarray:
+def rgb_to_ycbcr444(rgb: np.ndarray, threads: int = 0,
+                    out: Optional[np.ndarray] = None) -> np.ndarray:
     """(H, W, 3) uint8 RGB -> (3, H, W) uint8 planar YCbCr (full-range
-    BT.601), ready to write as three y4m planes."""
+    BT.601), ready to write as three y4m planes.  ``out`` reuses a caller
+    buffer (hot-path sinks)."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native imgproc unavailable (no compiler)")
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
-    out = np.empty((3, h, w), np.uint8)
+    if out is None:
+        out = np.empty((3, h, w), np.uint8)
+    elif (out.shape != (3, h, w) or out.dtype != np.uint8
+          or not out.flags.c_contiguous):
+        raise ValueError(f"out buffer {out.shape}/{out.dtype} mismatch")
     lib.imgproc_rgb_to_ycbcr444(
         _u8p(rgb), _u8p(out[0]), _u8p(out[1]), _u8p(out[2]),
         h * w, threads or _DEF_THREADS,
@@ -106,7 +112,8 @@ def ycbcr444_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return out
 
 
-def planar_interleave(p: np.ndarray, s: int, threads: int = 0) -> np.ndarray:
+def planar_interleave(p: np.ndarray, s: int, threads: int = 0,
+                      out: Optional[np.ndarray] = None) -> np.ndarray:
     """Shuffle-planar uint8 (H, W, 3*s*s) in (i, j, c) plane order ->
     interleaved (H*s, W*s, 3) RGB — the host half of the shuffle-planar
     output contract (ops/pixel.planar_to_frames routes here when the
@@ -123,7 +130,14 @@ def planar_interleave(p: np.ndarray, s: int, threads: int = 0) -> np.ndarray:
         raise ValueError(
             f"planar frame has {c} channels, expected 3*{s}*{s}={3 * s * s}"
         )
-    out = np.empty((h * s, w * s, 3), np.uint8)
+    if out is None:
+        # callers on a hot path pass a reused ``out`` — a fresh 25 MB
+        # allocation per 4K frame costs more in page faults than the
+        # interleave itself on small hosts (round-3 load test)
+        out = np.empty((h * s, w * s, 3), np.uint8)
+    elif (out.shape != (h * s, w * s, 3) or out.dtype != np.uint8
+          or not out.flags.c_contiguous):
+        raise ValueError(f"out buffer {out.shape}/{out.dtype} mismatch")
     lib.imgproc_planar_interleave(
         _u8p(p), _u8p(out), h, w, s, threads or _DEF_THREADS,
     )

@@ -58,10 +58,15 @@ _G = np.array(
 )
 
 
-def transform_weights(w: np.ndarray) -> np.ndarray:
+def transform_weights(w) -> jnp.ndarray:
     """HWIO (3, 3, cin, cout) -> (4, 3*cin, cout): ``U_a`` per coordinate,
-    K ordered dx-major to match the kernel's patch concat."""
-    u = np.einsum("ad,dxio->axio", _G, np.asarray(w, np.float32))
+    K ordered dx-major to match the kernel's patch concat.  jnp throughout
+    so traced weights (e.g. a chained benchmark or a finetune step that
+    re-derives U per iteration) work too."""
+    u = jnp.einsum(
+        "ad,dxio->axio", jnp.asarray(_G, jnp.float32),
+        jnp.asarray(w, jnp.float32),
+    )
     return u.reshape(4, 3 * w.shape[2], w.shape[3])
 
 
@@ -246,7 +251,7 @@ def winograd_chain(
         interpret = jax.default_backend() != "tpu"
     wmats, biases, slopes, acts, cins = [], [], [], [], []
     for l in layers:
-        w = np.asarray(l["weight"], np.float32)
+        w = l["weight"]
         kh, kw, cin, cout = w.shape
         assert (kh, kw) == (3, 3) and cin <= 128 and cout <= 128
         wmats.append(jnp.asarray(transform_weights(w), jnp.bfloat16))

@@ -14,7 +14,7 @@ into the first convolution's input.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -56,7 +56,8 @@ def model_to_frames(
     return y.astype(jnp.uint8)
 
 
-def planar_to_frames(p: np.ndarray, s: int) -> np.ndarray:
+def planar_to_frames(p: np.ndarray, s: int,
+                     out: Optional[np.ndarray] = None) -> np.ndarray:
     """Host-side pixel-shuffle interleave of a *shuffle-planar* frame.
 
     ``p`` is uint8 ``(H, W, 3*s*s)`` (or batched ``(N, H, W, 3*s*s)``) in
@@ -85,15 +86,21 @@ def planar_to_frames(p: np.ndarray, s: int) -> np.ndarray:
     co = c // (s * s)
     if co == 3 and p.dtype == np.uint8:
         # native path: threaded strided memcpy (~3x the numpy transpose,
-        # keeps the sink thread ahead of multi-chip dp rates)
+        # keeps the sink thread ahead of multi-chip dp rates).  ``out``
+        # lets hot-path callers (AsyncSink's transform) reuse one buffer —
+        # a fresh 25 MB allocation per 4K frame costs more in page faults
+        # than the interleave itself on small hosts (round-3 load test).
         from upscale_video_tpu.native.imgproc import (
             native_available, planar_interleave,
         )
 
         if native_available():
-            return planar_interleave(p, s)
-    out = p.reshape(h, w, s, s, co).transpose(0, 2, 1, 3, 4)
-    return np.ascontiguousarray(out).reshape(h * s, w * s, co)
+            return planar_interleave(p, s, out=out)
+    v = p.reshape(h, w, s, s, co).transpose(0, 2, 1, 3, 4)
+    if out is not None:
+        np.copyto(out.reshape(h, s, w, s, co), v)
+        return out
+    return np.ascontiguousarray(v).reshape(h * s, w * s, co)
 
 
 def pad_to_multiple(

@@ -281,7 +281,19 @@ def _run_stream_plane(
         from upscale_video_tpu.ops.pixel import planar_to_frames
 
         step_fn = engine.planar_step
-        transform = lambda p: planar_to_frames(p, planar)  # noqa: E731
+        # one reused interleave target: transform and the sink's write run
+        # sequentially on the writer thread (the pipe ring memcpys on
+        # submit), so the buffer is free again by the next frame — a fresh
+        # 25 MB alloc per 4K frame measurably stalls small hosts
+        _ibuf = []
+
+        def transform(p):  # noqa: E306
+            if not _ibuf or _ibuf[0].shape[0] != p.shape[0] * planar:
+                _ibuf[:] = [np.empty(
+                    (p.shape[0] * planar, p.shape[1] * planar, 3), np.uint8
+                )]
+            return planar_to_frames(p, planar, out=_ibuf[0])
+
         log.info("planar output contract active (s=%d)", planar)
     else:
         step_fn = engine.step

@@ -224,6 +224,9 @@ class Y4MSink(FrameSink):
             f"YUV4MPEG2 W{width} H{height} F{fr.numerator}:{fr.denominator} "
             f"Ip A1:1 C444\n".encode()
         )
+        # reused conversion target + zero-copy write (tobytes() duplicated
+        # every 4K frame's 24 MB on the hot path — round-3 load test)
+        self._ycc = np.empty((3, height, width), np.uint8)
 
     def write(self, frame: np.ndarray) -> None:
         if frame.shape != (self.height, self.width, 3):
@@ -231,7 +234,8 @@ class Y4MSink(FrameSink):
         self._f.write(b"FRAME\n")
         native = _imgproc()
         if native:
-            self._f.write(native.rgb_to_ycbcr444(frame).tobytes())
+            native.rgb_to_ycbcr444(frame, out=self._ycc)
+            self._f.write(memoryview(self._ycc).cast("B"))
             return
         ycc = _rgb_to_ycbcr_full(frame)
         for i in range(3):
