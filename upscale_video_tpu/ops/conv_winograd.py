@@ -113,12 +113,14 @@ def _wino_kernel(w_ref, b_ref, s_ref, x_hbm, dst_ref, out_ref, win, sem,
     valid = jnp.logical_and(rows < valid_h, cols < valid_w)
     xt = jnp.where(valid, xt, jnp.zeros_like(xt))
 
-    # Winograd row combinations: stride-2 slices on the OUTER dim.
-    # window row w == tile row w-1, so pair i uses window rows 2i..2i+3.
-    d0 = xt[0:th:2]
-    d1 = xt[1:th:2]
-    d2 = xt[2 : th + 2 : 2]
-    d3 = xt[3 : th + 2 : 2]
+    # Winograd row combinations: stride-2 row selection via outer-dim
+    # reshape + index (Mosaic lowers a strided 3D slice as a gather, which
+    # it rejects; splitting the untiled rows dim is relayout-free).
+    # Window row w == tile row w-1, so pair i uses window rows 2i..2i+3.
+    lo = xt[0:th].reshape(th // 2, 2, win_w, LANES)
+    hi = xt[2 : th + 2].reshape(th // 2, 2, win_w, LANES)
+    d0, d1 = lo[:, 0], lo[:, 1]
+    d2, d3 = hi[:, 0], hi[:, 1]
     v = (d0 - d2, d1 + d2, d2 - d1, d1 - d3)
 
     m2 = (th // 2) * tw
