@@ -1,0 +1,110 @@
+"""On-chip parity sweep: every model chain vs its oracle (VERDICT round-3
+item 4).
+
+The ncnn/Vulkan ground truth is unreachable in this image (SURVEY.md §4),
+so the oracle stack is:
+
+- CPU f32 execution of the SAME fused chain program (JAX CPU backend,
+  HIGHEST precision) — catches TPU-compilation/Mosaic/XLA-TPU deviations,
+  which is precisely what "on-chip parity" must certify;
+- the independent numpy executor (models/numpy_ref.py) certifies the
+  chain program itself in the hermetic suite (tests/test_executor.py).
+
+Phases (one JAX backend per process): ``--phase oracle`` runs on CPU and
+saves outputs; the default run spawns that subprocess, then runs the TPU
+phase and prints one markdown row per chain: max u8 LSB diff (TPU f32 vs
+CPU f32) and PSNR (TPU bf16 vs f32 oracle).
+
+Real pretrained weights: set UPSCALE_TPU_MODEL_PATH=/root/reference/models
+(Valar's .bin is absent upstream -> architecture-faithful synthetic
+stand-in, seed-pinned so both phases build identical weights).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+CHAINS = [
+    # (label, models DSL, scale, synthetic)
+    ("compact-2x", None, 2, False),
+    ("compact-4x", None, 4, False),
+    ("anime-1x", "a", 1, False),
+    ("denoise-n3", "n=3", 1, False),
+    ("chain-a-n3-2x", "a,n=3", 2, False),
+    ("valar-4x-synth", "r", 4, True),
+]
+
+
+def make_input(h=72, w=96):
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, ((h + 3) // 4, (w + 3) // 4, 3), np.uint8)
+    img = np.repeat(np.repeat(small, 4, 0), 4, 1)[:h, :w]
+    return img[None]  # (1, H, W, 3)
+
+
+def build_engine(models, scale, synthetic, dtype):
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    return ChainEngine.build(
+        ChainSpec.parse(models), scale,
+        compute_dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+        synthetic=synthetic,
+    )
+
+
+def run_chains(dtype):
+    x = make_input()
+    outs = {}
+    for label, models, scale, synthetic in CHAINS:
+        eng = build_engine(models, scale, synthetic, dtype)
+        outs[label] = np.asarray(eng.step(x))
+        print(f"  [{dtype}] {label}: {outs[label].shape}",
+              file=sys.stderr, flush=True)
+    return outs
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--phase", choices=["oracle", "tpu"], default=None)
+    p.add_argument("--oracle_file", default="/tmp/parity_oracle.npz")
+    args = p.parse_args()
+
+    if args.phase == "oracle":
+        outs = run_chains("f32")
+        np.savez(args.oracle_file, **outs)
+        return 0
+
+    if args.phase is None:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        print("running CPU oracle phase...", file=sys.stderr, flush=True)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", "oracle",
+             "--oracle_file", args.oracle_file],
+            check=True, env=env,
+        )
+
+    oracle = dict(np.load(args.oracle_file))
+    tpu_f32 = run_chains("f32")
+    tpu_bf16 = run_chains("bf16")
+
+    from upscale_video_tpu.ops.pixel import psnr
+
+    print("\n| chain | maxLSB (TPU f32 vs CPU f32) | PSNR dB (TPU bf16 vs "
+          "f32 oracle) |")
+    print("|---|---|---|")
+    for label, _, _, _ in CHAINS:
+        lsb = int(np.max(np.abs(
+            tpu_f32[label].astype(np.int32) - oracle[label].astype(np.int32)
+        )))
+        q = psnr(tpu_bf16[label], oracle[label])
+        print(f"| {label} | {lsb} | {q:.1f} |", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
