@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1023,12 +1025,23 @@ def build_forward(
             # the piece-buffer HBM traffic (the dominant non-MXU cost at
             # large tiles — 480px A/B in NOTES.md); accumulation upcasts
             # back to f32 so only one extra rounding per piece is added.
-            y = y.astype(compute_dtype)
+            # UPSCALE_TPU_SCATTER_ACCUM=eager flips to a running f32
+            # accumulator updated at scatter time (adds sit adjacent to
+            # the producing conv, where XLA can fuse them into its output
+            # fusion) — a round-3 A/B knob, deferred remains the default.
+            eager = os.environ.get("UPSCALE_TPU_SCATTER_ACCUM") == "eager"
+            if not eager:
+                y = y.astype(compute_dtype)
             off = 0
             for t in group:
-                piece_bufs.setdefault(t["conv"], []).append(
-                    y[..., off:off + t["n_out"]]
-                )
+                piece = y[..., off:off + t["n_out"]]
+                if eager:
+                    prev = piece_bufs.get(t["conv"])
+                    piece_bufs[t["conv"]] = (
+                        [piece] if prev is None else [prev[0] + piece]
+                    )
+                else:
+                    piece_bufs.setdefault(t["conv"], []).append(piece)
                 off += t["n_out"]
 
         _run_scatter(input_blobs[0])
