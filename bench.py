@@ -144,7 +144,7 @@ def run_device_mode(args) -> float:
     # of the 1206-layer program for a metadata read)
     flops = 0.0 if engine.spec.real_life else _step_flops(step_fn, x)
     extras = {}
-    if flops:
+    if flops > 1e9:  # pallas custom calls report ~0 flops to cost_analysis
         extras["tflops"] = round(flops / args.batch / per_frame / 1e12, 1)
         if args.precision == "bf16":
             extras["mfu"] = round(
