@@ -1,0 +1,248 @@
+"""Fused residual-dense-block (RDB) kernel — the Valar round-3 rewrite.
+
+The round-3 profile of the dense-scatter XLA path (NOTES.md) shows the
+wide scatter convs are efficient (~90 ms of a 283 ms 480px Valar tile at
+~89 TFLOP/s) while ~190 ms is elementwise fusion work: piece buffers,
+accumulation, and activations shuttling 32-channel tensors through HBM.
+This kernel computes an ENTIRE ESRGAN RDB
+
+    c1 = lrelu(conv(x));  c_t = lrelu(conv(cat(x, c1..c_{t-1})))
+    out = x + 0.2 * c5                     (c5 linear)
+
+in one ``pallas_call``: the scatter decomposition's per-source wide
+matmuls (``K = 9*cin``, ``N = sum of downstream widths`` — the MXU-fill
+trick from executor._plan_dense_scatter) run back to back with the
+accumulators resident in a VMEM scratch, so no piece buffer, partial sum,
+or 32-lane activation ever reaches HBM.
+
+Geometry: overlap-and-discard.  The caller embeds the (H, W, 64) input at
+offset (5, 8) of a zero (Hp, Wp, 128) HBM buffer (5 = the RDB's receptive
+halo, 8 = lane-tile column alignment, zeros = conv zero padding at frame
+borders).  Each grid tile DMAs its haloed window and evaluates the five
+stages on statically shrinking regions (G1 = tile+8 ... G5 = tile), so
+border garbage from missing context never reaches the written center.
+
+Reference: models/4x_Valar_v1.param dense blocks (SURVEY.md §2.2);
+upscale_processing.py:913-914 selects this model for ``-m r``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from upscale_video_tpu.ops.common import round_up
+
+LANES = 128
+HALO = 5  # five 3x3 convs
+GC = 32   # ESRGAN growth channels
+NF = 64   # trunk feature width
+
+
+def pack_rdb_weights(ws: Sequence, bs: Sequence):
+    """Per-source scatter weight concatenation for one RDB.
+
+    ``ws``: five HWIO conv weights (3,3,cin_t,cout_t) with
+    cin_t = NF + (t-1)*GC, cout = GC (t<5) / NF (t=5); ``bs``: biases.
+    Returns (wmats, biases): wmats[s] is ``(9*cs, N_s)`` — source s's
+    contribution rows to every downstream target, K laid out
+    (dy,dx)-major to match the kernel's im2col concat.
+    """
+    wmats = []
+    for s in range(5):  # source 0 = x (64 ch), sources 1..4 = c1..c4 (32 ch)
+        cs = NF if s == 0 else GC
+        off = 0 if s == 0 else NF + (s - 1) * GC
+        parts = [
+            jnp.asarray(ws[t][:, :, off : off + cs, :], jnp.float32)
+            for t in range(s, 5)
+        ]
+        cat = jnp.concatenate(parts, axis=-1)  # (3,3,cs,N_s)
+        wmats.append(
+            jnp.asarray(cat.reshape(9 * cs, cat.shape[-1]), jnp.bfloat16)
+        )
+    biases = [
+        jnp.asarray(b, jnp.float32).reshape(1, -1) for b in bs
+    ]
+    return wmats, biases
+
+
+def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
+                win, acc, sem, *, th: int, tw: int, slope: float,
+                act5: bool, res_scale: float, valid_h: int, valid_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    win_w = tw + 16
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * th, th + 2 * HALO), pl.ds(j * tw, win_w), :],
+        win, sem,
+    )
+    dma.start()
+    dma.wait()
+    w = win[:, :, :]
+
+    wmats = (wx, w1, w2, w3, w4)
+    biases = (b1, b2, b3, b4, b5)
+
+    # per-target accumulator lane layout in the f32 scratch:
+    # c1 0:32, c2 32:64, c3 64:96, c4 96:128, c5 128:192
+    t_off = (0, 32, 64, 96, 128)
+    t_width = (GC, GC, GC, GC, NF)
+
+    acc[:, :, :] = jnp.zeros((th + 8, tw + 8, 192), jnp.float32)
+
+    def region(k):
+        """Grid G_k: size of stage-k valid region and its offset in G1."""
+        sz_h = th + 8 - 2 * (k - 1)
+        sz_w = tw + 8 - 2 * (k - 1)
+        return k - 1, sz_h, sz_w
+
+    src = None  # stage-s source values (set below)
+    for s in range(5):
+        # source s lives on G_s (s=0: the x window itself)
+        if s == 0:
+            cs = NF
+            # conv over G1: output rows 1..th+9 of the window need input
+            # rows 0..th+10; window row r == x row r - HALO ... G1 offset
+            # in window coords: rows 1:th+9, cols 4:tw+12 (data col d at
+            # window col 8+d; G1 spans d=-4..tw+4)
+            def sl(a, b):
+                return w[a : a + th + 8, 3 + b : 3 + b + tw + 8, :NF]
+        else:
+            cs = GC
+            off, sh, sw = region(s)  # source c_s valid on G_s
+            o, wdt = t_off[s - 1], t_width[s - 1]
+            val = acc[off : off + sh, off : off + sw, o : o + wdt]
+            val = val + biases[s - 1][0, :]
+            val = jnp.where(val >= 0, val, val * slope)
+            # reference semantics zero-pad EVERY intermediate feature map
+            # at the frame border (each ncnn conv is SAME-padded), so c_s
+            # outside the true frame must read as 0 — the window's real
+            # halo only stands in for interior tile boundaries.  G_s local
+            # (g, h) is data (i*th + g + s - 5, j*tw + h + s - 5).
+            shape3 = (sh, sw, wdt)
+            rows = jax.lax.broadcasted_iota(jnp.int32, shape3, 0) + (
+                pl.program_id(0) * th + s - 5
+            )
+            cols = jax.lax.broadcasted_iota(jnp.int32, shape3, 1) + (
+                pl.program_id(1) * tw + s - 5
+            )
+            inside = (
+                (rows >= 0) & (rows < valid_h) & (cols >= 0)
+                & (cols < valid_w)
+            )
+            val = jnp.where(inside, val, jnp.zeros_like(val))
+            src = val.astype(jnp.bfloat16)
+
+            def sl(a, b, _v=src):
+                # conv valid on G_{s+1}, one in from G_s's border
+                return _v[a : a + _v.shape[0] - 2, b : b + _v.shape[1] - 2, :]
+
+        _, oh, ow = region(s + 1)
+        m = oh * ow
+        patches = jnp.concatenate(
+            [sl(a, b).reshape(m, cs) for a in range(3) for b in range(3)],
+            axis=-1,
+        )
+        contrib = jnp.dot(patches, wmats[s][:, :],
+                          preferred_element_type=jnp.float32)
+        # scatter into the downstream targets' accumulator lanes
+        goff = s  # G_{s+1} offset within G1
+        n0 = 0
+        for t in range(s, 5):
+            o, wdt = t_off[t], t_width[t]
+            cur = acc[goff : goff + oh, goff : goff + ow, o : o + wdt]
+            acc[goff : goff + oh, goff : goff + ow, o : o + wdt] = (
+                cur + contrib[:, n0 : n0 + wdt].reshape(oh, ow, wdt)
+            )
+            n0 += wdt
+
+    # c5 on G5 == the tile center; out = x_center + 0.2 * c5
+    c5 = acc[4 : 4 + th, 4 : 4 + tw, 128 : 128 + NF] + biases[4][0, :]
+    if act5:
+        c5 = jnp.where(c5 >= 0, c5, c5 * slope)
+    x_center = w[HALO : HALO + th, 8 : 8 + tw, :NF].astype(jnp.float32)
+    y = (x_center + res_scale * c5).astype(jnp.bfloat16)
+    y = jnp.concatenate(
+        [y, jnp.zeros((th, tw, LANES - NF), jnp.bfloat16)], axis=-1
+    )
+    out_ref[:, :, :] = y
+
+
+def rdb_apply(
+    x: jnp.ndarray,
+    ws: Sequence,
+    bs: Sequence,
+    tile_h: int = 32,
+    tile_w: int = 256,
+    slope: float = 0.2,
+    act5: bool = False,
+    res_scale: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One fused RDB over an (H, W, 64) bf16/f32 image; returns (H, W, 64)
+    bf16.  ``ws``/``bs``: the five conv weights/biases (HWIO)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wmats, biases = pack_rdb_weights(ws, bs)
+    return _rdb_run(x, tuple(wmats), tuple(biases), tile_h, tile_w,
+                    slope, act5, res_scale, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "slope", "act5", "res_scale",
+                     "interpret"),
+)
+def _rdb_run(x, wmats, biases, tile_h, tile_w, slope, act5, res_scale,
+             interpret):
+    hgt, wid, _ = x.shape
+    th = min(tile_h, round_up(hgt, 8))
+    tw = min(tile_w, round_up(wid, 8))
+    gy = -(-hgt // th)
+    gx = -(-wid // tw)
+    hp = gy * th + 2 * HALO
+    wp = gx * tw + 16
+
+    buf = jnp.zeros((hp, wp, LANES), jnp.bfloat16)
+    x128 = jnp.pad(x.astype(jnp.bfloat16),
+                   ((0, 0), (0, 0), (0, LANES - x.shape[-1])))
+    buf = jax.lax.dynamic_update_slice(buf, x128, (HALO, 8, 0))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
+            res_scale=res_scale, valid_h=hgt, valid_w=wid,
+        ),
+        grid=(gy, gx),
+        in_specs=[
+            *[pl.BlockSpec(wm.shape, lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM) for wm in wmats],
+            *[pl.BlockSpec(b.shape, lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM) for b in biases],
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (th, tw, LANES), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((gy * th, gx * tw, LANES),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * HALO, tw + 16, LANES), jnp.bfloat16),
+            pltpu.VMEM((th + 8, tw + 8, 192), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*wmats, *biases, buf)
+    return out[:hgt, :wid, :NF]
