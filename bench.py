@@ -75,7 +75,7 @@ def build_args():
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--models", default=None,
                    help="chain DSL for the step under test (e.g. 'n=3')")
-    p.add_argument("--conv_impl", choices=["auto", "xla", "pallas"],
+    p.add_argument("--conv_impl", choices=["auto", "xla", "pallas", "rdb"],
                    default="auto")
     p.add_argument("--verbose", action="store_true")
     return p

@@ -64,6 +64,96 @@ def test_rdb_matches_xla(rng, hw):
     np.testing.assert_allclose(got, want, atol=0.05)
 
 
+def _xla_valar_rdb(x, ws, bs, skip_w, slope=0.2):
+    """The 4x_Valar_v1 dense-block variant: c2 += conv1x1(x) (Conv_6 +
+    Add_7, no bias), c4 += c2 (Add_14), c5 linear, out = x + 0.2*c5."""
+
+    def conv(v, w, b, k=3):
+        pad = [(1, 1), (1, 1)] if k == 3 else [(0, 0), (0, 0)]
+        y = jax.lax.conv_general_dilated(
+            v.astype(jnp.bfloat16)[None], w.astype(jnp.bfloat16),
+            (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )[0]
+        return y if b is None else y + b
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, v * slope)
+
+    bf = lambda v: v.astype(jnp.bfloat16).astype(jnp.float32)  # noqa: E731
+    x = bf(x)
+    c1 = lrelu(conv(x, ws[0], bs[0]))
+    c2 = lrelu(conv(jnp.concatenate([bf(x), bf(c1)], -1), ws[1], bs[1]))
+    c2 = c2 + conv(x, skip_w, None, k=1)
+    c3 = lrelu(conv(jnp.concatenate([bf(x), bf(c1), bf(c2)], -1),
+                    ws[2], bs[2]))
+    c4 = lrelu(conv(jnp.concatenate([bf(x), bf(c1), bf(c2), bf(c3)], -1),
+                    ws[3], bs[3]))
+    c4 = c4 + c2
+    c5 = conv(jnp.concatenate([bf(x), bf(c1), bf(c2), bf(c3), bf(c4)], -1),
+              ws[4], bs[4])
+    return (x + 0.2 * c5).astype(jnp.bfloat16)
+
+
+def test_rdb_valar_variant(rng):
+    """1x1 x-skip into c2 + c2-into-c4 residual (4x_Valar_v1.param
+    Conv_6/Add_7/Add_14)."""
+    h, w_ = 20, 28
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    skip_w = jnp.asarray(rng.normal(0, 0.1, (1, 1, NF, GC)), jnp.float32)
+    got = np.asarray(rdb_apply(
+        x, ws, bs, tile_h=16, tile_w=24, skip_w=skip_w,
+        add_c2_to_c4=True, interpret=True,
+    )).astype(np.float32)
+    want = np.asarray(_xla_valar_rdb(x, ws, bs, skip_w)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.06)
+
+
+def test_executor_rdb_integration(rng):
+    """build_forward(rdb_kernel=True) matches the XLA scatter path on a
+    full (small) RRDB graph: the planner claims every dense block, the
+    scatter planner yields them, and the outputs agree."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import (
+        _plan_rdb_blocks, build_forward,
+    )
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = make_rrdb_graph(scale=4, num_rrdb=1)
+    consumers = {}
+    for i, layer in enumerate(g.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(i)
+    blocks, absorbed = _plan_rdb_blocks(g, consumers)
+    assert len(blocks) == 3  # 3 RDBs per RRDB
+    assert all(len(b["convs"]) == 5 for b in blocks)
+
+    params = synthesize_weights(g, seed=0)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 18, 22, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=0.06)
+
+
+def test_rdb_kernel_noop_on_compact(rng):
+    """Compact graphs have no dense blocks: rdb_kernel must be a no-op."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import build_forward
+    from upscale_video_tpu.models.zoo import make_srvgg_graph
+
+    g = make_srvgg_graph(scale=2, num_conv=2, num_feat=8)
+    params = synthesize_weights(g, seed=0)
+    a = build_forward(g, compute_dtype=jnp.bfloat16)(params, jnp.ones((1, 8, 8, 3)))
+    b = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)(
+        params, jnp.ones((1, 8, 8, 3))
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rdb_act5_and_scale(rng):
     x = jnp.asarray(rng.normal(0, 0.5, (16, 24, NF)), jnp.float32)
     ws, bs = _make_rdb_weights(rng)

@@ -57,7 +57,7 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
              "collectives — only wins on channel-heavy models like Valar).",
     )
     p.add_argument(
-        "--conv_impl", choices=["auto", "xla", "pallas"], default="auto",
+        "--conv_impl", choices=["auto", "xla", "pallas", "rdb"], default="auto",
         help="Convolution backend. auto (default) = XLA conv fusions for "
              "both model families (Valar rides the dense-scatter graph "
              "rewrite, 2.2x measured); pallas = opt-in fused kernels.",

@@ -385,7 +385,8 @@ def _dense_conv_class(layer: NcnnLayer) -> str | None:
     return None
 
 
-def _plan_dense_scatter(graph: NcnnGraph, consumers: Dict[str, List[int]]):
+def _plan_dense_scatter(graph: NcnnGraph, consumers: Dict[str, List[int]],
+                        exclude: Optional[set] = None):
     """Plan the dense-block *scatter* rewrite for RRDB-style graphs.
 
     The reference's real-life model (models/4x_Valar_v1.param, ESRGAN
@@ -435,7 +436,10 @@ def _plan_dense_scatter(graph: NcnnGraph, consumers: Dict[str, List[int]]):
     piece_groups: Dict[str, List[dict]] = {}
     dense_targets: Dict[str, dict] = {}
     concat_of: Dict[str, str] = {}  # dense conv -> concat layer name
+    exclude = exclude or set()
     for idx, layer in enumerate(graph.layers):
+        if layer.name in exclude:
+            continue  # claimed by the fused RDB kernel
         if _dense_conv_class(layer) != "3x3":
             continue
         src = layer.inputs[0]
@@ -476,6 +480,8 @@ def _plan_dense_scatter(graph: NcnnGraph, consumers: Dict[str, List[int]]):
     # pass 2: direct convs (and promotable 1x1s) whose input resolves to a
     # root that already has a scatter group join that group's fused pass
     for layer in graph.layers:
+        if layer.name in exclude:
+            continue
         cls = _dense_conv_class(layer)
         if cls is None or layer.name in dense_targets:
             continue
@@ -505,6 +511,135 @@ def _plan_dense_scatter(graph: NcnnGraph, consumers: Dict[str, List[int]]):
         concat_of[name] for name in concat_of if name in dense_targets
     }
     return piece_groups, dense_targets, dead_layers
+
+
+def _plan_rdb_blocks(graph: NcnnGraph, consumers: Dict[str, List[int]]):
+    """Match ESRGAN residual-dense blocks for the fused RDB kernel
+    (ops/rdb_pallas.py) — the Valar variant exactly as laid out in
+    models/4x_Valar_v1.param:4-21 (and make_rrdb_graph):
+
+        c1 = lrelu(conv3x3(x))                          Conv_1
+        c2 = lrelu(conv3x3(cat(x,c1))) + conv1x1(x)     Conv_4/Conv_6/Add_7
+        c3 = lrelu(conv3x3(cat(x,c1,c2)))               Conv_9
+        c4 = lrelu(conv3x3(cat(x,c1,c2,c3))) + c2       Conv_12/Add_14
+        c5 = conv3x3(cat(x,c1,c2,c3,c4))                Conv_16
+        out = 0.2*c5 + x                                Eltwise Add_19
+
+    Returns (blocks, absorbed_layers): per block a dict with the root
+    blob, output blob, the six conv layer names, the leaky slope, and the
+    trigger (Eltwise) layer name; absorbed_layers = every matched layer
+    name except the Splits (which stay as aliases).
+    """
+    producers: Dict[str, int] = {}
+    for i, layer in enumerate(graph.layers):
+        for b in layer.outputs:
+            producers[b] = i
+
+    def root_of(blob: str) -> str:
+        seen = set()
+        while blob not in seen:
+            seen.add(blob)
+            pi = producers.get(blob)
+            if pi is None:
+                return blob
+            layer = graph.layers[pi]
+            if layer.type in ("Split", "Noop") and layer.inputs:
+                blob = layer.inputs[0]
+            else:
+                return blob
+        return blob
+
+    def producer(blob):
+        pi = producers.get(root_of(blob))
+        return graph.layers[pi] if pi is not None else None
+
+    def is_conv(layer, k, n_out, leaky):
+        if layer is None or layer.type != "Convolution":
+            return False
+        if layer.attr_i(0) != n_out or layer.attr_i(1) != k:
+            return False
+        act = layer.attr_i(9, 0)
+        return act == 2 if leaky else act == 0
+
+    blocks = []
+    absorbed: set = set()
+    for layer in graph.layers:
+        # anchor: the 0.2*body + skip residual
+        if layer.type != "Eltwise" or len(layer.inputs) != 2:
+            continue
+        coeffs = layer.attr(1, None)
+        if not coeffs or list(coeffs)[:2] != [0.2, 1.0]:
+            continue
+        c5_conv = producer(layer.inputs[0])
+        x_root = root_of(layer.inputs[1])
+        if not is_conv(c5_conv, 3, 64, leaky=False):
+            continue
+        cat5 = producer(c5_conv.inputs[0])
+        if cat5 is None or cat5.type != "Concat" or len(cat5.inputs) != 5:
+            continue
+        roots = [root_of(b) for b in cat5.inputs]
+        if roots[0] != x_root:
+            continue
+        # c1
+        c1_conv = producer(roots[1])
+        if not (is_conv(c1_conv, 3, 32, leaky=True)
+                and root_of(c1_conv.inputs[0]) == x_root):
+            continue
+        # c2 = add(conv3x3(cat(x,c1)), conv1x1(x))
+        add7 = producer(roots[2])
+        if add7 is None or add7.type != "BinaryOp" or add7.attr_i(0, 0) != 0:
+            continue
+        c4a, c6a = producer(add7.inputs[0]), producer(add7.inputs[1])
+        if is_conv(c6a, 3, 32, leaky=True):  # argument order can flip
+            c4a, c6a = c6a, c4a
+        if not (is_conv(c4a, 3, 32, leaky=True)
+                and is_conv(c6a, 1, 32, leaky=False)
+                and root_of(c6a.inputs[0]) == x_root):
+            continue
+        cat2 = producer(c4a.inputs[0])
+        if (cat2 is None or cat2.type != "Concat" or len(cat2.inputs) != 2
+                or [root_of(b) for b in cat2.inputs]
+                != [x_root, roots[1]]):
+            continue
+        # c3
+        c9 = producer(roots[3])
+        if not is_conv(c9, 3, 32, leaky=True):
+            continue
+        cat3 = producer(c9.inputs[0])
+        if (cat3 is None or cat3.type != "Concat"
+                or [root_of(b) for b in cat3.inputs] != roots[:3]):
+            continue
+        # c4 = add(conv3x3(cat(x,c1,c2,c3)), c2)
+        add14 = producer(roots[4])
+        if (add14 is None or add14.type != "BinaryOp"
+                or add14.attr_i(0, 0) != 0):
+            continue
+        c12, c2b = producer(add14.inputs[0]), add14.inputs[1]
+        if not is_conv(c12, 3, 32, leaky=True):
+            c12, c2b = producer(add14.inputs[1]), add14.inputs[0]
+        if not (is_conv(c12, 3, 32, leaky=True)
+                and root_of(c2b) == roots[2]):
+            continue
+        cat4 = producer(c12.inputs[0])
+        if (cat4 is None or cat4.type != "Concat"
+                or [root_of(b) for b in cat4.inputs] != roots[:4]):
+            continue
+        slope = float(c1_conv.attr(10, [0.2])[0])
+        blocks.append({
+            "root": x_root,
+            "out": layer.outputs[0],
+            "convs": [c1_conv.name, c4a.name, c9.name, c12.name,
+                      c5_conv.name],
+            "skip_conv": c6a.name,
+            "slope": slope,
+            "trigger": layer.name,
+        })
+        absorbed |= {
+            c1_conv.name, c4a.name, c6a.name, c9.name, c12.name,
+            c5_conv.name, add7.name, add14.name, cat2.name, cat3.name,
+            cat4.name, cat5.name, layer.name,
+        }
+    return blocks, absorbed
 
 
 def _pallas_fusable(layer: NcnnLayer) -> bool:
@@ -812,6 +947,7 @@ def build_forward(
     channel_order: str = "bgr",
     dense_scatter: bool = True,
     planar_tail: bool = False,
+    rdb_kernel: bool = False,
 ) -> Callable:
     """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
 
@@ -865,19 +1001,29 @@ def build_forward(
         for b in layer.inputs:
             consumers_map.setdefault(b, []).append(idx)
 
+    # fused-RDB blocks claim whole dense blocks before the scatter planner
+    # sees them (ops/rdb_pallas.py — the round-3 Valar kernel; bf16-only,
+    # so the f32 max-quality contract keeps the XLA path like pallas_conv)
+    rdb_triggers: Dict[str, dict] = {}
+    rdb_absorbed: set = set()
+    if rdb_kernel and compute_dtype != jnp.float32:
+        rdb_blocks, rdb_absorbed = _plan_rdb_blocks(graph, consumers_map)
+        rdb_triggers = {b["trigger"]: b for b in rdb_blocks}
+
     piece_groups: Dict[str, List[dict]] = {}
     dense_targets: Dict[str, dict] = {}
     dead_layers: set = set()
     if dense_scatter:
         piece_groups, dense_targets, dead_layers = _plan_dense_scatter(
-            graph, consumers_map
+            graph, consumers_map, exclude=rdb_absorbed
         )
 
     fusion_plans: Dict[str, Any] = {}
     absorbed: set = set()
     if pallas_conv:
         fusion_plans, absorbed = _plan_pallas_fusion(
-            graph, exclude=set(dense_targets), consumers=consumers_map
+            graph, exclude=set(dense_targets) | rdb_absorbed,
+            consumers=consumers_map,
         )
 
     # Shuffle-planar output contract (emit-frames only): the SRVGG tail's
@@ -1050,6 +1196,43 @@ def build_forward(
                 continue
             if layer.name in absorbed:
                 continue  # PReLU fused into the preceding Pallas conv
+            if layer.name in rdb_triggers:
+                # fused RDB: the whole dense block in one pallas_call per
+                # frame (HBM operands cannot be vmapped)
+                from upscale_video_tpu.ops.rdb_pallas import rdb_apply
+
+                block = rdb_triggers[layer.name]
+                x_val = blobs[layer.inputs[1]]  # the residual-skip alias
+                ws, bs_ = [], []
+                for name in block["convs"]:
+                    p = params[name]
+                    w = p["weight"]
+                    ws.append(w)
+                    bs_.append(p.get("bias",
+                                     jnp.zeros((w.shape[-1],), jnp.float32)))
+                sp = params[block["skip_conv"]]
+                interp = jax.default_backend() != "tpu"
+                y = jnp.stack([
+                    rdb_apply(
+                        x_val[n], ws, bs_, slope=block["slope"],
+                        skip_w=sp["weight"], skip_b=sp.get("bias"),
+                        add_c2_to_c4=True, interpret=interp,
+                    )
+                    for n in range(x_val.shape[0])
+                ])
+                blobs[block["out"]] = y.astype(compute_dtype)
+                _run_scatter(block["out"])
+                for b in layer.inputs:
+                    if last_use.get(b) == i and b in blobs:
+                        del blobs[b]
+                continue
+            if layer.name in rdb_absorbed:
+                # interior of a fused RDB block: never materialized; free
+                # split aliases whose last (absorbed) consumer is here
+                for b in layer.inputs:
+                    if last_use.get(b) == i and b in blobs:
+                        del blobs[b]
+                continue
             if layer.name in dead_layers:
                 # Concat consumed only by a scatter-rewritten conv: never
                 # materialize it (saves the 96..192-channel HBM buffer)

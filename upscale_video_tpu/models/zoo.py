@@ -63,6 +63,7 @@ class Model:
     params: Dict[str, Dict[str, Any]]
     compute_dtype: Any = jnp.bfloat16
     pallas_conv: bool = False  # fused Pallas conv3x3 kernels (ops/conv_pallas)
+    rdb_kernel: bool = False  # fused residual-dense-block kernel (ops/rdb_pallas)
     _forward: Callable = field(default=None, repr=False)
     # cache of emit-frames forwards keyed by (channel_order, planar)
     _frames_forward: Optional[Dict[Any, Callable]] = field(
@@ -77,6 +78,7 @@ class Model:
                 self.graph,
                 compute_dtype=self.compute_dtype,
                 pallas_conv=self.pallas_conv,
+                rdb_kernel=self.rdb_kernel,
             )
         return self._forward
 
@@ -101,6 +103,7 @@ class Model:
                 self.graph,
                 compute_dtype=self.compute_dtype,
                 pallas_conv=self.pallas_conv,
+                rdb_kernel=self.rdb_kernel,
                 emit_frames=True,
                 channel_order=channel_order,
                 planar_tail=planar,

@@ -73,9 +73,10 @@ def pack_rdb_weights(ws: Sequence, bs: Sequence):
     return wmats, biases
 
 
-def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
-                win, acc, sem, *, th: int, tw: int, slope: float,
-                act5: bool, res_scale: float, valid_h: int, valid_w: int):
+def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
+                x_hbm, out_ref, win, sem, *, th: int, tw: int,
+                slope: float, act5: bool, res_scale: float, valid_h: int,
+                valid_w: int, has_skip: bool, add_c2_to_c4: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     win_w = tw + 16
@@ -90,13 +91,7 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
 
     wmats = (wx, w1, w2, w3, w4)
     biases = (b1, b2, b3, b4, b5)
-
-    # per-target accumulator lane layout in the f32 scratch:
-    # c1 0:32, c2 32:64, c3 64:96, c4 96:128, c5 128:192
-    t_off = (0, 32, 64, 96, 128)
-    t_width = (GC, GC, GC, GC, NF)
-
-    acc[:, :, :] = jnp.zeros((th + 8, tw + 8, 192), jnp.float32)
+    widths = (GC, GC, GC, GC, NF)
 
     def region(k):
         """Grid G_k: size of stage-k valid region and its offset in G1."""
@@ -104,7 +99,30 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
         sz_w = tw + 8 - 2 * (k - 1)
         return k - 1, sz_h, sz_w
 
+    def col_off(sc, jt):
+        """Column offset of target jt within source sc's wide output."""
+        return sum(widths[t] for t in range(sc, jt))
+
+    # contribution VALUES, one per source, each on its G_{s+1} grid —
+    # purely functional dataflow (a first cut accumulated into a sliced
+    # f32 VMEM scratch; Mosaic's layout solver choked on the read-modify-
+    # write sub-slice pattern and compiles took tens of minutes)
+    contribs = []
+
+    def read_target(jt, sh, sw, goff):
+        """Sum of all contributions to target jt over a (sh, sw) region at
+        offset ``goff`` within G1."""
+        total = None
+        for sc in range(jt + 1):
+            c3 = contribs[sc]  # on G_{sc+1} (G1 offset sc)
+            o_sp = goff - sc
+            piece = c3[o_sp : o_sp + sh, o_sp : o_sp + sw,
+                       col_off(sc, jt) : col_off(sc, jt) + widths[jt]]
+            total = piece if total is None else total + piece
+        return total
+
     src = None  # stage-s source values (set below)
+    c2_keep = None  # post-skip c2, re-added into c4 (Valar Add_14)
     for s in range(5):
         # source s lives on G_s (s=0: the x window itself)
         if s == 0:
@@ -118,10 +136,23 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
         else:
             cs = GC
             off, sh, sw = region(s)  # source c_s valid on G_s
-            o, wdt = t_off[s - 1], t_width[s - 1]
-            val = acc[off : off + sh, off : off + sw, o : o + wdt]
-            val = val + biases[s - 1][0, :]
+            wdt = widths[s - 1]
+            val = read_target(s - 1, sh, sw, off) + biases[s - 1][0, :]
             val = jnp.where(val >= 0, val, val * slope)
+            if s == 2 and has_skip:
+                # Valar variant (4x_Valar_v1.param Conv_6 + Add_7):
+                # c2 = lrelu(conv4) + conv1x1(x); x on G2 is window rows
+                # g+2, cols h+5
+                xg = w[2 : 2 + sh, 5 : 5 + sw, :NF]
+                skip = jnp.dot(
+                    xg.reshape(sh * sw, NF), wskip[:, :],
+                    preferred_element_type=jnp.float32,
+                ) + bskip[0, :]
+                val = val + skip.reshape(sh, sw, wdt)
+            if s == 4 and add_c2_to_c4:
+                # Valar Add_14: c4 = lrelu(conv12) + c2 (post-skip value);
+                # G4 index g == G2 index g+2
+                val = val + c2_keep[2 : 2 + sh, 2 : 2 + sw, :]
             # reference semantics zero-pad EVERY intermediate feature map
             # at the frame border (each ncnn conv is SAME-padded), so c_s
             # outside the true frame must read as 0 — the window's real
@@ -139,6 +170,8 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
                 & (cols < valid_w)
             )
             val = jnp.where(inside, val, jnp.zeros_like(val))
+            if s == 2:
+                c2_keep = val
             src = val.astype(jnp.bfloat16)
 
             def sl(a, b, _v=src):
@@ -153,19 +186,10 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, x_hbm, out_ref,
         )
         contrib = jnp.dot(patches, wmats[s][:, :],
                           preferred_element_type=jnp.float32)
-        # scatter into the downstream targets' accumulator lanes
-        goff = s  # G_{s+1} offset within G1
-        n0 = 0
-        for t in range(s, 5):
-            o, wdt = t_off[t], t_width[t]
-            cur = acc[goff : goff + oh, goff : goff + ow, o : o + wdt]
-            acc[goff : goff + oh, goff : goff + ow, o : o + wdt] = (
-                cur + contrib[:, n0 : n0 + wdt].reshape(oh, ow, wdt)
-            )
-            n0 += wdt
+        contribs.append(contrib.reshape(oh, ow, contrib.shape[-1]))
 
     # c5 on G5 == the tile center; out = x_center + 0.2 * c5
-    c5 = acc[4 : 4 + th, 4 : 4 + tw, 128 : 128 + NF] + biases[4][0, :]
+    c5 = read_target(4, th, tw, 4) + biases[4][0, :]
     if act5:
         c5 = jnp.where(c5 >= 0, c5, c5 * slope)
     x_center = w[HALO : HALO + th, 8 : 8 + tw, :NF].astype(jnp.float32)
@@ -185,24 +209,41 @@ def rdb_apply(
     slope: float = 0.2,
     act5: bool = False,
     res_scale: float = 0.2,
+    skip_w=None,
+    skip_b=None,
+    add_c2_to_c4: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """One fused RDB over an (H, W, 64) bf16/f32 image; returns (H, W, 64)
-    bf16.  ``ws``/``bs``: the five conv weights/biases (HWIO)."""
+    bf16.  ``ws``/``bs``: the five conv weights/biases (HWIO).
+
+    Valar-variant hooks (4x_Valar_v1.param dense blocks): ``skip_w`` — a
+    1x1 conv from x added into c2 post-activation (Conv_6/Add_7);
+    ``add_c2_to_c4`` — re-add c2 into c4 (Add_14)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     wmats, biases = pack_rdb_weights(ws, bs)
-    return _rdb_run(x, tuple(wmats), tuple(biases), tile_h, tile_w,
-                    slope, act5, res_scale, interpret)
+    has_skip = skip_w is not None
+    if has_skip:
+        wsk = jnp.asarray(skip_w, jnp.float32).reshape(NF, GC)
+        wsk = wsk.astype(jnp.bfloat16)
+        bsk = (jnp.asarray(skip_b, jnp.float32).reshape(1, GC)
+               if skip_b is not None else jnp.zeros((1, GC), jnp.float32))
+    else:
+        wsk = jnp.zeros((NF, GC), jnp.bfloat16)
+        bsk = jnp.zeros((1, GC), jnp.float32)
+    return _rdb_run(x, tuple(wmats), tuple(biases), wsk, bsk, tile_h,
+                    tile_w, slope, act5, res_scale, has_skip,
+                    add_c2_to_c4, interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "slope", "act5", "res_scale",
-                     "interpret"),
+                     "has_skip", "add_c2_to_c4", "interpret"),
 )
-def _rdb_run(x, wmats, biases, tile_h, tile_w, slope, act5, res_scale,
-             interpret):
+def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
+             res_scale, has_skip, add_c2_to_c4, interpret):
     hgt, wid, _ = x.shape
     th = min(tile_h, round_up(hgt, 8))
     tw = min(tile_w, round_up(wid, 8))
@@ -220,6 +261,7 @@ def _rdb_run(x, wmats, biases, tile_h, tile_w, slope, act5, res_scale,
         functools.partial(
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
+            has_skip=has_skip, add_c2_to_c4=add_c2_to_c4,
         ),
         grid=(gy, gx),
         in_specs=[
@@ -227,6 +269,10 @@ def _rdb_run(x, wmats, biases, tile_h, tile_w, slope, act5, res_scale,
                            memory_space=pltpu.VMEM) for wm in wmats],
             *[pl.BlockSpec(b.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM) for b in biases],
+            pl.BlockSpec(wsk.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bsk.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -237,12 +283,11 @@ def _rdb_run(x, wmats, biases, tile_h, tile_w, slope, act5, res_scale,
                                        jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * HALO, tw + 16, LANES), jnp.bfloat16),
-            pltpu.VMEM((th + 8, tw + 8, 192), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*wmats, *biases, buf)
+    )(*wmats, *biases, wsk, bsk, buf)
     return out[:hgt, :wid, :NF]

@@ -123,6 +123,10 @@ class ChainEngine:
             pallas_conv = False  # measured: NOTES.md round-2 Valar A/B
         else:
             pallas_conv = conv_impl == "pallas"
+        # 'rdb': fuse whole residual-dense blocks into one kernel each
+        # (ops/rdb_pallas.py; only Valar-family graphs have matching
+        # blocks — a no-op for the Compact family)
+        rdb_kernel = conv_impl == "rdb"
         anime_model = None
         sr_model = None
         if spec.anime:
@@ -132,6 +136,7 @@ class ChainEngine:
                 else load_model("anime", 1, model_path, compute_dtype)
             )
             anime_model.pallas_conv = pallas_conv
+            anime_model.rdb_kernel = rdb_kernel
         if scale > 1:
             if synthetic:
                 if spec.real_life:
@@ -151,6 +156,7 @@ class ChainEngine:
                 role = "valar" if spec.real_life else "compact"
                 sr_model = load_model(role, scale, model_path, compute_dtype)
             sr_model.pallas_conv = pallas_conv
+            sr_model.rdb_kernel = rdb_kernel
         return cls(
             spec=spec, scale=scale, sr_model=sr_model, anime_model=anime_model,
             tile=tile, halo=halo, kernel_impl=conv_impl,
