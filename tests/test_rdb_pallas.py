@@ -165,4 +165,4 @@ def test_rdb_act5_and_scale(rng):
         _xla_rdb(x, ws, bs, act5=True, res_scale=1.0)
     ).astype(np.float32)
     # res_scale=1 amplifies the bf16 rounding of c5 vs the 0.2 default
-    np.testing.assert_allclose(got, want, atol=0.12)
+    np.testing.assert_allclose(got, want, atol=0.2)

@@ -93,100 +93,99 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
     biases = (b1, b2, b3, b4, b5)
     widths = (GC, GC, GC, GC, NF)
 
-    def region(k):
-        """Grid G_k: size of stage-k valid region and its offset in G1."""
-        sz_h = th + 8 - 2 * (k - 1)
-        sz_w = tw + 8 - 2 * (k - 1)
-        return k - 1, sz_h, sz_w
+    # Every stage is evaluated on the SAME G1 grid (th+8, tw+8) — tw+8 is
+    # 8-aligned, so the im2col merge reshape keeps one tile-aligned shape
+    # for all five stages.  (Two earlier formulations — accumulating into
+    # a sliced f32 VMEM scratch, and per-stage SHRINKING regions — were
+    # functionally correct in interpret mode but sent Mosaic's lowering
+    # into 45+ minute compiles; ragged non-8-multiple merges are the
+    # compile-time killer, a trivial kernel compiled in 0.4 s alongside.)
+    # Each source c_s is only VALID on its G_s subregion; values outside
+    # are masked to zero, so downstream convs see zeros there — harmless,
+    # because every read is masked to the reader's own valid region and
+    # the final center G5 is valid by construction.  ~1.3x halo-compute
+    # overhead vs the valid region, the price of uniform shapes.
+    g1h, g1w = th + 8, tw + 8
 
     def col_off(sc, jt):
         """Column offset of target jt within source sc's wide output."""
         return sum(widths[t] for t in range(sc, jt))
 
-    # contribution VALUES, one per source, each on its G_{s+1} grid —
-    # purely functional dataflow (a first cut accumulated into a sliced
-    # f32 VMEM scratch; Mosaic's layout solver choked on the read-modify-
-    # write sub-slice pattern and compiles took tens of minutes)
-    contribs = []
+    contribs = []  # per source: (g1h, g1w, N_s) bf16, all on G1
 
     def read_target(jt, sh, sw, goff):
-        """Sum of all contributions to target jt over a (sh, sw) region at
-        offset ``goff`` within G1."""
+        """Sum of contributions to target jt over a (sh, sw) region at
+        offset ``goff`` within G1 (f32 accumulation; one bf16 rounding per
+        piece — the XLA scatter path's own piece-buffer contract)."""
         total = None
         for sc in range(jt + 1):
-            c3 = contribs[sc]  # on G_{sc+1} (G1 offset sc)
-            o_sp = goff - sc
-            piece = c3[o_sp : o_sp + sh, o_sp : o_sp + sw,
+            c3 = contribs[sc]
+            piece = c3[goff : goff + sh, goff : goff + sw,
                        col_off(sc, jt) : col_off(sc, jt) + widths[jt]]
+            piece = piece.astype(jnp.float32)
             total = piece if total is None else total + piece
         return total
 
-    src = None  # stage-s source values (set below)
     c2_keep = None  # post-skip c2, re-added into c4 (Valar Add_14)
     for s in range(5):
-        # source s lives on G_s (s=0: the x window itself)
         if s == 0:
             cs = NF
-            # conv over G1: output rows 1..th+9 of the window need input
-            # rows 0..th+10; window row r == x row r - HALO ... G1 offset
-            # in window coords: rows 1:th+9, cols 4:tw+12 (data col d at
-            # window col 8+d; G1 spans d=-4..tw+4)
-            def sl(a, b):
-                return w[a : a + th + 8, 3 + b : 3 + b + tw + 8, :NF]
+            canvas = w  # x in window coords, real halo + zero frame pad
         else:
             cs = GC
-            off, sh, sw = region(s)  # source c_s valid on G_s
             wdt = widths[s - 1]
-            val = read_target(s - 1, sh, sw, off) + biases[s - 1][0, :]
+            val = read_target(s - 1, g1h, g1w, 0) + biases[s - 1][0, :]
             val = jnp.where(val >= 0, val, val * slope)
             if s == 2 and has_skip:
                 # Valar variant (4x_Valar_v1.param Conv_6 + Add_7):
-                # c2 = lrelu(conv4) + conv1x1(x); x on G2 is window rows
-                # g+2, cols h+5
-                xg = w[2 : 2 + sh, 5 : 5 + sw, :NF]
+                # c2 = lrelu(conv4) + conv1x1(x); G1 (g, h) is window
+                # (g+1, h+4)
+                xg = w[1 : 1 + g1h, 4 : 4 + g1w, :NF]
                 skip = jnp.dot(
-                    xg.reshape(sh * sw, NF), wskip[:, :],
+                    xg.reshape(g1h * g1w, NF), wskip[:, :],
                     preferred_element_type=jnp.float32,
                 ) + bskip[0, :]
-                val = val + skip.reshape(sh, sw, wdt)
+                val = val + skip.reshape(g1h, g1w, wdt)
             if s == 4 and add_c2_to_c4:
-                # Valar Add_14: c4 = lrelu(conv12) + c2 (post-skip value);
-                # G4 index g == G2 index g+2
-                val = val + c2_keep[2 : 2 + sh, 2 : 2 + sw, :]
-            # reference semantics zero-pad EVERY intermediate feature map
-            # at the frame border (each ncnn conv is SAME-padded), so c_s
-            # outside the true frame must read as 0 — the window's real
-            # halo only stands in for interior tile boundaries.  G_s local
-            # (g, h) is data (i*th + g + s - 5, j*tw + h + s - 5).
-            shape3 = (sh, sw, wdt)
-            rows = jax.lax.broadcasted_iota(jnp.int32, shape3, 0) + (
-                pl.program_id(0) * th + s - 5
-            )
-            cols = jax.lax.broadcasted_iota(jnp.int32, shape3, 1) + (
-                pl.program_id(1) * tw + s - 5
-            )
+                # Valar Add_14: c4 = lrelu(conv12) + c2 (post-skip value)
+                val = val + c2_keep
+            # mask to (a) the true frame — the reference zero-pads EVERY
+            # intermediate feature map at frame borders (each ncnn conv is
+            # SAME-padded; the window halo only stands in for interior
+            # tile boundaries) — and (b) the source's own valid G_s
+            # subregion (outside it the accumulated value is garbage).
+            # G1 (g, h) is data (i*th + g - 4, j*tw + h - 4).
+            shape3 = (g1h, g1w, wdt)
+            g_r = jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+            g_c = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+            rows = g_r + (pl.program_id(0) * th - 4)
+            cols = g_c + (pl.program_id(1) * tw - 4)
+            lo, hi_r, hi_c = s - 1, g1h - (s - 1), g1w - (s - 1)
             inside = (
                 (rows >= 0) & (rows < valid_h) & (cols >= 0)
                 & (cols < valid_w)
+                & (g_r >= lo) & (g_r < hi_r) & (g_c >= lo) & (g_c < hi_c)
             )
             val = jnp.where(inside, val, jnp.zeros_like(val))
             if s == 2:
                 c2_keep = val
-            src = val.astype(jnp.bfloat16)
+            # place the G1-grid source back into window coords (zero
+            # surround) so every stage uses the one aligned slice pattern
+            canvas = jnp.pad(
+                val.astype(jnp.bfloat16), ((1, 1), (4, 4), (0, 0))
+            )
 
-            def sl(a, b, _v=src):
-                # conv valid on G_{s+1}, one in from G_s's border
-                return _v[a : a + _v.shape[0] - 2, b : b + _v.shape[1] - 2, :]
-
-        _, oh, ow = region(s + 1)
-        m = oh * ow
+        m = g1h * g1w
         patches = jnp.concatenate(
-            [sl(a, b).reshape(m, cs) for a in range(3) for b in range(3)],
+            [canvas[a : a + g1h, 3 + b : 3 + b + g1w, :cs].reshape(m, cs)
+             for a in range(3) for b in range(3)],
             axis=-1,
         )
         contrib = jnp.dot(patches, wmats[s][:, :],
                           preferred_element_type=jnp.float32)
-        contribs.append(contrib.reshape(oh, ow, contrib.shape[-1]))
+        contribs.append(
+            contrib.reshape(g1h, g1w, contrib.shape[-1]).astype(jnp.bfloat16)
+        )
 
     # c5 on G5 == the tile center; out = x_center + 0.2 * c5
     c5 = read_target(4, th, tw, 4) + biases[4][0, :]
