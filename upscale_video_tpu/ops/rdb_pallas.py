@@ -245,7 +245,10 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
              res_scale, has_skip, add_c2_to_c4, interpret):
     hgt, wid, _ = x.shape
     th = min(tile_h, round_up(hgt, 8))
-    tw = min(tile_w, round_up(wid, 8))
+    # prefer a single tile column when the whole width fits the VMEM
+    # budget: grid padding (e.g. 480 -> 2x256 = 512) is pure halo waste
+    w8 = round_up(wid, 8)
+    tw = w8 if w8 <= max(tile_w, 512) else min(tile_w, w8)
     gy = -(-hgt // th)
     gx = -(-wid // tw)
     hp = gy * th + 2 * HALO

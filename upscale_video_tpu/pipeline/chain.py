@@ -125,8 +125,13 @@ class ChainEngine:
             pallas_conv = conv_impl == "pallas"
         # 'rdb': fuse whole residual-dense blocks into one kernel each
         # (ops/rdb_pallas.py; only Valar-family graphs have matching
-        # blocks — a no-op for the Compact family)
-        rdb_kernel = conv_impl == "rdb"
+        # blocks — a no-op for the Compact family).  'auto' selects it for
+        # the real-life model: measured 277.9 -> 204.0 ms per 480px tile
+        # (1.36x, round-3 same-window A/B, hardware-bit-exact vs the
+        # scatter path); 'xla' opts out.
+        rdb_kernel = conv_impl == "rdb" or (
+            conv_impl == "auto" and spec.real_life
+        )
         anime_model = None
         sr_model = None
         if spec.anime:
