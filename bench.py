@@ -87,9 +87,14 @@ def make_engine(args):
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    spec = ChainSpec.parse(args.models)
+    # Valar at 1080p whole-frame overflows HBM (measured 15.9/15.75 G);
+    # production '-m r' runs tiled like the reference (tile 960 default,
+    # upscale_processing.py:489) — bench the realistic tiled config
+    tile = 480 if spec.real_life else 0
     return ChainEngine.build(
-        ChainSpec.parse(args.models), 2, compute_dtype=dtype,
-        synthetic=True, conv_impl=args.conv_impl,
+        spec, 2, compute_dtype=dtype,
+        synthetic=True, conv_impl=args.conv_impl, tile=tile,
     )
 
 

@@ -166,3 +166,32 @@ def test_rdb_act5_and_scale(rng):
     ).astype(np.float32)
     # res_scale=1 amplifies the bf16 rounding of c5 vs the 0.2 default
     np.testing.assert_allclose(got, want, atol=0.2)
+
+
+def test_tiled_engine_with_rdb_kernel(rng):
+    """conv_impl=rdb composes with the tiled path (lax.map single-tile
+    chunks; static unroll over the frame batch).
+
+    2 RRDBs: with the full 23-block synthetic net the random (untrained,
+    magnitude-exploding) weights amplify ordinary bf16 rounding into tens
+    of u8 LSB for the XLA path vs itself too (PARITY.md: Valar-synth bf16
+    is 34.7 dB vs the f32 oracle) — block count bounds compounding so the
+    check pins the KERNEL, not synthetic-weight chaos."""
+    from upscale_video_tpu.models.zoo import make_synthetic_rrdb_model
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    def engine(impl):
+        m = make_synthetic_rrdb_model(scale=4, num_rrdb=2)
+        eng = ChainEngine(spec=ChainSpec(real_life=True), scale=4,
+                          sr_model=m, tile=16, halo=4)
+        m.rdb_kernel = impl == "rdb"
+        return eng
+
+    eng, ref = engine("rdb"), engine("xla")
+    ref.sr_model.params = eng.sr_model.params
+    x = rng.integers(0, 256, (1, 20, 24, 3), dtype=np.uint8)
+    a = np.asarray(eng.step(x)).astype(np.int32)
+    b = np.asarray(ref.step(x)).astype(np.int32)
+    assert a.shape == b.shape == (1, 80, 96, 3)
+    # same tiling geometry, bf16 kernels vs bf16 XLA: a few u8 LSB
+    assert np.abs(a - b).max() <= 4

@@ -59,8 +59,10 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--conv_impl", choices=["auto", "xla", "pallas", "rdb"], default="auto",
         help="Convolution backend. auto (default) = XLA conv fusions for "
-             "both model families (Valar rides the dense-scatter graph "
-             "rewrite, 2.2x measured); pallas = opt-in fused kernels.",
+             "the Compact family + the fused residual-dense-block kernel "
+             "for -m r (1.36x over the XLA dense-scatter rewrite, "
+             "hardware-bit-exact); xla = pure-XLA everywhere; "
+             "pallas/rdb = explicit kernel choices.",
     )
 
 

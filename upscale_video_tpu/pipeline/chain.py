@@ -216,14 +216,21 @@ class ChainEngine:
     def _tiled_sr(self, x: jnp.ndarray) -> jnp.ndarray:
         """Tiled SR over a frame batch.  Pallas pallas_call operands in HBM
         memory space cannot be vmapped on TPU (Mosaic requires whole arrays
-        with trivial index maps), so when the model uses Pallas conv kernels
-        the frame batch is a static Python unroll instead of jax.vmap
-        (matching conv3x3_fused_batch's own policy)."""
+        with trivial index maps), so when the model uses Pallas conv or RDB
+        kernels the frame batch is a static Python unroll instead of
+        jax.vmap (matching conv3x3_fused_batch's own policy), and tiles go
+        through ``lax.map`` one at a time so the kernels trace once per
+        program instead of once per tile."""
         fwd = self.sr_model.forward
         params = self.sr_model.params
         fn = lambda tiles: fwd(params, tiles)
-        per_frame = lambda im: tiled_apply(fn, im, self.tile, self.halo, self.scale)
-        if getattr(self.sr_model, "pallas_conv", False):
+        kernels = (getattr(self.sr_model, "pallas_conv", False)
+                   or getattr(self.sr_model, "rdb_kernel", False))
+        per_frame = lambda im: tiled_apply(
+            fn, im, self.tile, self.halo, self.scale,
+            tiles_per_step=1 if kernels else None,
+        )
+        if kernels:
             return jnp.stack([per_frame(x[i]) for i in range(x.shape[0])])
         return jax.vmap(per_frame)(x)
 
