@@ -90,8 +90,9 @@ def make_engine(args):
     spec = ChainSpec.parse(args.models)
     # Valar at 1080p whole-frame overflows HBM (measured 15.9/15.75 G);
     # production '-m r' runs tiled like the reference (tile 960 default,
-    # upscale_processing.py:489) — bench the realistic tiled config
-    tile = 480 if spec.real_life else 0
+    # upscale_processing.py:489) — bench the realistic tiled config.
+    # 540 fits 1080 rows exactly (2x540); 480 padded to 3x480 = 33% waste
+    tile = 540 if spec.real_life else 0
     return ChainEngine.build(
         spec, 2, compute_dtype=dtype,
         synthetic=True, conv_impl=args.conv_impl, tile=tile,
