@@ -104,6 +104,40 @@ class TestTiling:
         out = np.asarray(tiled_apply(fn, img, tile=8, halo=4, scale=1))
         assert out.shape == (20, 20, 3)
 
+    def test_rectangular_matches_square(self, rng):
+        """An (th, tw) tile pair gives the same interior as square tiles."""
+        fn, n_convs = self._model()
+        img = jnp.asarray(rng.uniform(0, 1, (40, 56, 3)).astype(np.float32))
+        sq = np.asarray(tiled_apply(fn, img, tile=16, halo=n_convs, scale=2))
+        rect = np.asarray(
+            tiled_apply(fn, img, tile=(8, 24), halo=n_convs, scale=2)
+        )
+        assert rect.shape == sq.shape
+        m = 2 * n_convs
+        np.testing.assert_allclose(
+            rect[m:-m, m:-m], sq[m:-m, m:-m], atol=1e-5
+        )
+
+    def test_fit_tile_grid(self):
+        from upscale_video_tpu.ops.tiling import fit_tile_grid
+
+        # exact fits: the 1080x1920 frame under a 480 budget
+        assert fit_tile_grid(1080, 1920, 480) == (360, 480)
+        # frame smaller than budget: one tile, rounded to 8
+        th, tw = fit_tile_grid(100, 200, 480)
+        assert th >= 100 and tw >= 200 and th % 8 == 0 and tw % 8 == 0
+        # never exceeds the budget (the caller's memory contract)
+        for h, w in [(1079, 1917), (800, 1920), (2160, 3840), (7, 9)]:
+            th, tw = fit_tile_grid(h, w, 480)
+            assert th <= 480 and tw <= 480
+            import math
+
+            assert math.ceil(h / th) * th >= h
+            assert math.ceil(w / tw) * tw >= w
+            # waste bound: the fitted grid covers < one extra tile row/col
+            assert math.ceil(h / th) * th - h < th
+            assert math.ceil(w / tw) * tw - w < tw
+
 
 class TestNLMeans:
     def test_reduces_noise(self, rng):

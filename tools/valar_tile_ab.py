@@ -8,6 +8,10 @@ Builds one engine per tile size, compiles both chained programs once,
 then alternates reps (NOTES.md measurement hygiene).
 
 Usage: python tools/valar_tile_ab.py [--tiles 480,540] [--reps 3]
+
+Tile specs: a bare int is a BUDGET (geometry-fit via ops.tiling
+.fit_tile_grid, the shipped behavior); ``HxW`` forces an exact interior
+tile pair (e.g. ``480x480`` reproduces the pre-fit square config).
 """
 
 import argparse
@@ -34,16 +38,21 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    tiles = [int(t) for t in args.tiles.split(",")]
+    def parse_tile(s):
+        return tuple(int(v) for v in s.split("x")) if "x" in s else int(s)
+
+    tiles = [parse_tile(t) for t in args.tiles.split(",")]
     rng = np.random.default_rng(0)
     x = rng.integers(0, 256, (1, args.height, args.width, 3), dtype=np.uint8)
 
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
     fns = {}
     for tile in tiles:
-        bargs = bench.build_args().parse_args([
-            "--models", "r", "--valar_tile", str(tile),
-        ])
-        engine = bench.make_engine(bargs)
+        engine = ChainEngine.build(
+            ChainSpec.parse("r"), 2, compute_dtype=jnp.bfloat16,
+            synthetic=True, conv_impl="auto", tile=tile,
+        )
         scale = engine.scale
         step_fn = engine.raw_step
 

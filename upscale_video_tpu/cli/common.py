@@ -38,8 +38,10 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--tile_size", type=int, default=0,
-        help="Spatial tile size for HBM-bounded frames (0 = whole frame; "
-             "the reference hardcoded 960).",
+        help="Spatial tile budget for HBM-bounded frames (0 = whole "
+             "frame; the reference hardcoded 960).  Tiles are "
+             "geometry-fit: the budget sets the grid, each tile shrinks "
+             "to just cover the frame (ops/tiling.fit_tile_grid).",
     )
     p.add_argument(
         "--halo", type=int, default=16,

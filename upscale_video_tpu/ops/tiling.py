@@ -30,16 +30,43 @@ configurable, unlike the reference's hardcoded 10/960 constants
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 
+def fit_tile_grid(h: int, w: int, budget: int) -> Tuple[int, int]:
+    """Geometry-fit rectangular tile for an (h, w) frame.
+
+    A square ``budget`` tile wastes up to ~50% compute when the frame is
+    not a multiple of it (e.g. 480 on 1080 rows covers 1440: 3 tiles,
+    +33% padded rows — the reference pays the same class of waste through
+    ragged edge tiles, upscale_processing.py:409-427).  Instead keep the
+    grid the square budget implies (``ceil(dim / budget)`` tiles per
+    axis) but shrink each tile to just cover the frame, so padding waste
+    is at most 7 px per axis and per-tile memory never exceeds the
+    budget's.  Tile edges are rounded up to 8 (sublane tiling; the Pallas
+    kernels pad to lane multiples internally).
+    """
+    gy = max(1, math.ceil(h / budget))
+    gx = max(1, math.ceil(w / budget))
+    th = min(budget, 8 * math.ceil(h / gy / 8))
+    tw = min(budget, 8 * math.ceil(w / gx / 8))
+    # rounding up the edge can make the last tile redundant (e.g. 1000
+    # rows, budget 480: gy=3 but th=336 -> 3*336=1008 covers it with
+    # gy=3; 1020 rows -> th=344, 3*344=1032, still 3).  Drop empty tails.
+    while gy > 1 and (gy - 1) * th >= h:
+        gy -= 1
+    while gx > 1 and (gx - 1) * tw >= w:
+        gx -= 1
+    return th, tw
+
+
 def tiled_apply(
     fn: Callable[[jnp.ndarray], jnp.ndarray],
     img: jnp.ndarray,
-    tile: int = 512,
+    tile: Union[int, Tuple[int, int]] = 512,
     halo: int = 16,
     scale: int = 1,
     tiles_per_step: Optional[int] = None,
@@ -50,7 +77,8 @@ def tiled_apply(
       fn: maps (N, th, tw, C) -> (N, th*scale, tw*scale, C') — a jitted
         model forward closed over params.
       img: (H, W, C) single frame (float, model domain).
-      tile: interior tile size (both axes).
+      tile: interior tile size — an int (both axes) or an ``(th, tw)``
+        pair (see :func:`fit_tile_grid` for geometry-fit planning).
       halo: context border; >= the model's receptive field for exactness.
       scale: spatial scale factor of ``fn``.
       tiles_per_step: process tiles in chunks of this size via ``lax.map``
@@ -59,19 +87,24 @@ def tiled_apply(
     Returns: (H*scale, W*scale, C') frame.
     """
     h, w, c = img.shape
-    ty = math.ceil(h / tile)
-    tx = math.ceil(w / tile)
-    ph = ty * tile - h
-    pw = tx * tile - w
+    tile_h, tile_w = (tile, tile) if isinstance(tile, int) else tile
+    ty = math.ceil(h / tile_h)
+    tx = math.ceil(w / tile_w)
+    ph = ty * tile_h - h
+    pw = tx * tile_w - w
 
     x = jnp.pad(img, ((halo, halo + ph), (halo, halo + pw), (0, 0)))
 
-    # gather uniform tiles: (ty*tx, tile+2halo, tile+2halo, c)
-    span = tile + 2 * halo
+    # gather uniform tiles: (ty*tx, tile_h+2halo, tile_w+2halo, c)
+    span_h = tile_h + 2 * halo
+    span_w = tile_w + 2 * halo
     rows = []
     for i in range(ty):
         for j in range(tx):
-            rows.append(x[i * tile : i * tile + span, j * tile : j * tile + span, :])
+            rows.append(
+                x[i * tile_h : i * tile_h + span_h,
+                  j * tile_w : j * tile_w + span_w, :]
+            )
     tiles = jnp.stack(rows, axis=0)
 
     n = tiles.shape[0]
@@ -83,18 +116,21 @@ def tiled_apply(
         pad_n = chunks * tiles_per_step - n
         if pad_n:
             tiles = jnp.concatenate([tiles, tiles[:pad_n]], axis=0)
-        tiles = tiles.reshape(chunks, tiles_per_step, span, span, c)
+        tiles = tiles.reshape(chunks, tiles_per_step, span_h, span_w, c)
         out_tiles = jax.lax.map(fn, tiles)
-        out_tiles = out_tiles.reshape(chunks * tiles_per_step, span * scale, span * scale, -1)
+        out_tiles = out_tiles.reshape(
+            chunks * tiles_per_step, span_h * scale, span_w * scale, -1
+        )
         out_tiles = out_tiles[:n]
 
     # crop scaled halo, reassemble grid by reshape
     hs = halo * scale
-    ts = tile * scale
-    inner = out_tiles[:, hs : hs + ts, hs : hs + ts, :]
+    ts_h = tile_h * scale
+    ts_w = tile_w * scale
+    inner = out_tiles[:, hs : hs + ts_h, hs : hs + ts_w, :]
     c_out = inner.shape[-1]
-    grid = inner.reshape(ty, tx, ts, ts, c_out)
-    full = grid.transpose(0, 2, 1, 3, 4).reshape(ty * ts, tx * ts, c_out)
+    grid = inner.reshape(ty, tx, ts_h, ts_w, c_out)
+    full = grid.transpose(0, 2, 1, 3, 4).reshape(ty * ts_h, tx * ts_w, c_out)
     return full[: h * scale, : w * scale, :]
 
 

@@ -27,7 +27,7 @@ import numpy as np
 from upscale_video_tpu.models.zoo import Model, load_model, make_synthetic_model
 from upscale_video_tpu.ops.nlmeans import nl_means_denoise
 from upscale_video_tpu.ops.pixel import frames_to_model, model_to_frames
-from upscale_video_tpu.ops.tiling import tiled_apply
+from upscale_video_tpu.ops.tiling import fit_tile_grid, tiled_apply
 
 log = logging.getLogger(__name__)
 
@@ -226,8 +226,18 @@ class ChainEngine:
         fn = lambda tiles: fwd(params, tiles)
         kernels = (getattr(self.sr_model, "pallas_conv", False)
                    or getattr(self.sr_model, "rdb_kernel", False))
+        # geometry-fit rectangular tiles: the tile flag is a budget (max
+        # extent per axis); the grid it implies is kept but each tile
+        # shrinks to just cover the frame (a square 480 tile on 1080x1920
+        # computes 1.31x the frame's pixels; the fitted 360x480 grid, the
+        # same 12 tiles, computes 1.16x — measured A/B in NOTES.md).
+        # An explicit (th, tw) pair bypasses the fit (A/B harnesses).
+        tile_hw = (
+            self.tile if isinstance(self.tile, tuple)
+            else fit_tile_grid(int(x.shape[1]), int(x.shape[2]), self.tile)
+        )
         per_frame = lambda im: tiled_apply(
-            fn, im, self.tile, self.halo, self.scale,
+            fn, im, tile_hw, self.halo, self.scale,
             tiles_per_step=1 if kernels else None,
         )
         if kernels:
