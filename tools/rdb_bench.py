@@ -71,7 +71,8 @@ def main():
     p.add_argument("--k1", type=int, default=2)
     p.add_argument("--k2", type=int, default=6)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--tile_h", type=int, default=32)
+    p.add_argument("--tile_h", default="32",
+                   help="comma list A/Bs kernel tile heights in-process")
     p.add_argument("--tile_w", type=int, default=256)
     p.add_argument("--skip_parity", action="store_true")
     args = p.parse_args()
@@ -84,8 +85,9 @@ def main():
     def impl_fn(name):
         if name == "xla-scatter":
             return lambda v, ws, bs: xla_scatter_rdb(v, ws, bs)
+        th = int(name.split(":")[1])
         return lambda v, ws, bs: rdb_apply(
-            v, ws, bs, tile_h=args.tile_h, tile_w=args.tile_w,
+            v, ws, bs, tile_h=th, tile_w=args.tile_w,
             interpret=False,
         )
 
@@ -108,7 +110,8 @@ def main():
         float(f())
         return time.perf_counter() - t0
 
-    impls = ["xla-scatter", "rdb-kernel"]
+    tile_hs = [int(t) for t in str(args.tile_h).split(",")]
+    impls = ["xla-scatter"] + [f"rdb:{th}" for th in tile_hs]
     fns = {}
     for name in impls:
         c1, c2 = chained(name, args.k1), chained(name, args.k2)
@@ -137,7 +140,7 @@ def main():
               f"{flop/per/1e12:.1f} TFLOP/s", flush=True)
 
     if not args.skip_parity:
-        a = np.asarray(jax.jit(impl_fn("rdb-kernel"))(x, ws, bs),
+        a = np.asarray(jax.jit(impl_fn(f"rdb:{tile_hs[0]}"))(x, ws, bs),
                        dtype=np.float32)
         b = np.asarray(jax.jit(impl_fn("xla-scatter"))(x, ws, bs),
                        dtype=np.float32)
