@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from upscale_video_tpu.ops.rdb_pallas import GC, NF, rdb_apply
+from tests.conftest import reference_models_available
 
 
 def _make_rdb_weights(rng):
@@ -137,6 +138,124 @@ def test_executor_rdb_integration(rng):
     b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=0.06)
+
+
+def _insert_ncnn_splits(g):
+    """ncnn-ify a synthetic graph: every blob with more than one consumer
+    gets a Split layer fanning out one alias per consumer — the exact
+    bookkeeping the real .param files carry (4x_Valar_v1.param:6-19) and
+    the synthetic builders omit."""
+    from upscale_video_tpu.models.param_parser import NcnnGraph, NcnnLayer
+
+    consumers = {}
+    for layer in g.layers:
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(layer)
+    new_layers = []
+    for layer in g.layers:
+        new_layers.append(layer)
+        for b in layer.outputs:
+            cs = consumers.get(b, [])
+            if len(cs) <= 1:
+                continue
+            aliases = [f"{b}_split_{k}" for k in range(len(cs))]
+            new_layers.append(
+                NcnnLayer("Split", f"split_{b}", [b], aliases)
+            )
+            for k, c in enumerate(cs):
+                c.inputs[c.inputs.index(b)] = aliases[k]
+    return NcnnGraph(new_layers, g.magic if hasattr(g, "magic") else 2)
+
+
+def test_executor_rdb_with_ncnn_splits(rng):
+    """The real .param wraps every multi-consumer blob in a Split; interior
+    Splits reference conv outputs the fused-RDB path never materializes, so
+    the planner must absorb them with the block (regression: KeyError '774'
+    on the real 4x_Valar_v1.param before the fix)."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import (
+        _plan_rdb_blocks, build_forward,
+    )
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = _insert_ncnn_splits(make_rrdb_graph(scale=4, num_rrdb=1))
+    consumers = {}
+    for i, layer in enumerate(g.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(i)
+    blocks, absorbed = _plan_rdb_blocks(g, consumers)
+    assert len(blocks) == 3
+    assert any(name.startswith("split_") for name in absorbed)
+
+    params = synthesize_weights(g, seed=0)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 14, 18, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    np.testing.assert_allclose(a, b, atol=0.06)
+
+
+def test_rdb_leak_guard(rng):
+    """A dense block whose interior blob is consumed OUTSIDE the block must
+    not be claimed (the fused kernel would leave that consumer's input
+    unmaterialized)."""
+    from upscale_video_tpu.models.executor import _plan_rdb_blocks
+    from upscale_video_tpu.models.param_parser import NcnnLayer
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = make_rrdb_graph(scale=4, num_rrdb=1)
+    # find block 1's c1 conv output (32-ch leaky conv fed by the trunk)
+    consumers = {}
+    for i, layer in enumerate(g.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(i)
+    baseline, _ = _plan_rdb_blocks(g, consumers)
+    assert len(baseline) == 3
+    c1_out = g.layers[
+        [i for i, l in enumerate(g.layers)
+         if l.type == "Convolution" and l.attr_i(0) == 32][0]
+    ].outputs[0]
+    g.layers.append(NcnnLayer("ReLU", "leak_probe", [c1_out], ["leaked"]))
+    consumers = {}
+    for i, layer in enumerate(g.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(i)
+    blocks, absorbed = _plan_rdb_blocks(g, consumers)
+    assert len(blocks) == 2  # the leaked block is declined
+    assert "leak_probe" not in absorbed
+
+
+@pytest.mark.skipif(
+    not reference_models_available(), reason="reference zoo absent"
+)
+def test_real_valar_param_rdb_kernel():
+    """The shipped ``auto`` path (rdb_kernel) on the REAL 1206-layer param:
+    69 blocks (23 RRDB x 3) matched through the splitncnn bookkeeping, and
+    the trace executes (regression for the interior-Split KeyError)."""
+    import os
+
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import (
+        _plan_rdb_blocks, build_forward,
+    )
+    from upscale_video_tpu.models.param_parser import parse_param_file
+    from tests.conftest import REFERENCE_MODELS
+
+    g = parse_param_file(os.path.join(REFERENCE_MODELS, "4x_Valar_v1.param"))
+    consumers = {}
+    for i, layer in enumerate(g.layers):
+        for b in layer.inputs:
+            consumers.setdefault(b, []).append(i)
+    blocks, absorbed = _plan_rdb_blocks(g, consumers)
+    assert len(blocks) == 69
+    assert any(name.startswith("splitncnn") for name in absorbed)
+    params = synthesize_weights(g, seed=1, scale=0.01)
+    fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    y = np.asarray(fwd(params, x)).astype(np.float32)
+    assert y.shape == (1, 32, 32, 3)
+    assert np.isfinite(y).all()
 
 
 def test_rdb_kernel_noop_on_compact(rng):

@@ -531,7 +531,9 @@ def _plan_rdb_blocks(graph: NcnnGraph, consumers: Dict[str, List[int]]):
     name except the Splits (which stay as aliases).
     """
     producers: Dict[str, int] = {}
+    by_name: Dict[str, "NcnnLayer"] = {}
     for i, layer in enumerate(graph.layers):
+        by_name[layer.name] = layer
         for b in layer.outputs:
             producers[b] = i
 
@@ -624,6 +626,39 @@ def _plan_rdb_blocks(graph: NcnnGraph, consumers: Dict[str, List[int]]):
         if (cat4 is None or cat4.type != "Concat"
                 or [root_of(b) for b in cat4.inputs] != roots[:4]):
             continue
+        block_names = {
+            c1_conv.name, c4a.name, c6a.name, c9.name, c12.name,
+            c5_conv.name, add7.name, add14.name, cat2.name, cat3.name,
+            cat4.name, cat5.name, layer.name,
+        }
+        # The fused kernel never materializes the block's interior blobs,
+        # so (a) Split/Noop aliases of interior blobs (the real param's
+        # ``splitncnn_*`` bookkeeping, 4x_Valar_v1.param:6-19 — absent
+        # from the synthetic graphs) must be absorbed with the block, and
+        # (b) if ANY interior blob leaks to a consumer outside the block
+        # the match must be abandoned, else that consumer would trace
+        # against a missing blob.
+        interior: set = set()
+        for nm in block_names - {layer.name}:
+            interior |= set(by_name[nm].outputs)
+        splits: set = set()
+        changed = True
+        while changed:
+            changed = False
+            for l2 in graph.layers:
+                if (l2.type in ("Split", "Noop") and l2.name not in splits
+                        and any(b in interior for b in l2.inputs)):
+                    splits.add(l2.name)
+                    interior |= set(l2.outputs)
+                    changed = True
+        leaked = any(
+            graph.layers[ci].name not in block_names
+            and graph.layers[ci].name not in splits
+            for b in interior
+            for ci in consumers.get(b, [])
+        )
+        if leaked:
+            continue
         slope = float(c1_conv.attr(10, [0.2])[0])
         blocks.append({
             "root": x_root,
@@ -634,11 +669,7 @@ def _plan_rdb_blocks(graph: NcnnGraph, consumers: Dict[str, List[int]]):
             "slope": slope,
             "trigger": layer.name,
         })
-        absorbed |= {
-            c1_conv.name, c4a.name, c6a.name, c9.name, c12.name,
-            c5_conv.name, add7.name, add14.name, cat2.name, cat3.name,
-            cat4.name, cat5.name, layer.name,
-        }
+        absorbed |= block_names | splits
     return blocks, absorbed
 
 
