@@ -47,10 +47,11 @@ def make_train_state(model: Model, learning_rate: float = 1e-4):
 
 def _differentiable_forward(model: Model) -> Callable:
     """The XLA-path forward for autodiff: pallas_call has no differentiation
-    rule, so a model carrying pallas_conv=True (e.g. taken off a
-    conv_impl='pallas' engine) must not be differentiated through its
-    inference forward."""
-    if not getattr(model, "pallas_conv", False):
+    rule, so a model carrying pallas_conv=True or rdb_kernel=True (e.g.
+    taken off a conv_impl='pallas'/'rdb' engine) must not be differentiated
+    through its inference forward."""
+    if not (getattr(model, "pallas_conv", False)
+            or getattr(model, "rdb_kernel", False)):
         return model.forward
     from upscale_video_tpu.models.executor import build_forward
 
