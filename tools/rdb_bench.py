@@ -67,7 +67,10 @@ def xla_scatter_rdb(x, ws, bs, slope=0.2):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=int, default=480)
+    p.add_argument("--size", default="480",
+                   help="N or HxW (the SHIPPED 1080p tiled config feeds "
+                        "the kernel 392x512 haloed tiles: 360x480 fit "
+                        "tile + 2*16 halo)")
     p.add_argument("--k1", type=int, default=2)
     p.add_argument("--k2", type=int, default=6)
     p.add_argument("--reps", type=int, default=3)
@@ -79,8 +82,11 @@ def main():
 
     rng = np.random.default_rng(0)
     ws, bs = make_weights(rng)
-    x = jnp.asarray(rng.normal(0, 0.5, (args.size, args.size, NF)),
-                    jnp.bfloat16)
+    if "x" in str(args.size):
+        hgt, wid = (int(v) for v in str(args.size).split("x"))
+    else:
+        hgt = wid = int(args.size)
+    x = jnp.asarray(rng.normal(0, 0.5, (hgt, wid, NF)), jnp.bfloat16)
 
     def impl_fn(name):
         if name == "xla-scatter":
@@ -128,7 +134,7 @@ def main():
             t1[name].append(timed(lambda: c1(x, ws, bs)))
             t2[name].append(timed(lambda: c2(x, ws, bs)))
     # one RDB's MACs (valid region)
-    flop = 2 * 9 * args.size * args.size * (
+    flop = 2 * 9 * hgt * wid * (
         NF * GC + (NF + GC) * GC + (NF + 2 * GC) * GC
         + (NF + 3 * GC) * GC + (NF + 4 * GC) * NF
     )
@@ -136,7 +142,7 @@ def main():
         per = (statistics.median(t2[name]) - statistics.median(t1[name])) / (
             args.k2 - args.k1
         )
-        print(f"[{name}] {per*1e3:.2f} ms/RDB at {args.size}px, "
+        print(f"[{name}] {per*1e3:.2f} ms/RDB at {hgt}x{wid}, "
               f"{flop/per/1e12:.1f} TFLOP/s", flush=True)
 
     if not args.skip_parity:

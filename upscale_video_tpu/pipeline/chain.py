@@ -118,6 +118,11 @@ class ChainEngine:
         rewrite (executor._plan_dense_scatter, 1.76x) where mixing in
         Pallas solo kernels regresses 4x (custom-call layout boundaries);
         denoise measured a tie (NOTES.md) so auto stays on XLA there."""
+        from upscale_video_tpu.utils.compcache import enable_compilation_cache
+
+        enable_compilation_cache()  # multi-minute Valar compiles are shared
+        # across the short-process workflows (opt-out via env; no-op when
+        # the backend can't serialize executables)
         scale = spec.effective_scale(scale)
         if conv_impl == "auto":
             pallas_conv = False  # measured: NOTES.md round-2 Valar A/B

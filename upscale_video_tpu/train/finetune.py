@@ -92,6 +92,9 @@ def finetune(
     """
     import jax.numpy as jnp
 
+    from upscale_video_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     from upscale_video_tpu.models.zoo import load_model, make_synthetic_model
     from upscale_video_tpu.train.checkpoint import (
         latest_checkpoint, restore_checkpoint, save_checkpoint,
