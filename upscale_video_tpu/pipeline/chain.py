@@ -419,7 +419,44 @@ class ChainEngine:
             self._mesh_mode = mode
             self._step = None  # rebuild with sharding
             self._planar_step = None
+            self._demote_kernels_for_mesh(len(devices))
         return multiplier
+
+    def _demote_kernels_for_mesh(self, n_chips: int) -> None:
+        """GSPMD cannot partition a Mosaic custom call: under a multi-chip
+        mesh a pallas_call's operands get all-gathered onto every chip, so
+        the fused RDB kernel would serialize the dense blocks per chip and
+        forfeit the sharding.  ``auto`` therefore falls back to the XLA
+        dense-scatter rewrite (plain convs — GSPMD partitions it cleanly)
+        on meshes; an explicit ``--conv_impl rdb``/``pallas`` is honored
+        with a warning."""
+        models = [m for m in (self.anime_model, self.sr_model)
+                  if m is not None]
+        uses_kernels = any(
+            getattr(m, "rdb_kernel", False) or getattr(m, "pallas_conv", False)
+            for m in models
+        )
+        if not uses_kernels:
+            return
+        if self.kernel_impl == "auto":
+            log.info(
+                "multi-chip mesh (%d chips): auto conv_impl falls back to "
+                "the XLA graph paths (GSPMD cannot partition Pallas custom "
+                "calls)", n_chips,
+            )
+            for m in models:
+                m.rdb_kernel = False
+                m.pallas_conv = False
+                m._forward = None  # rebuilt without kernel plans
+                m._frames_forward = None
+                m._jitted = None
+        else:
+            log.warning(
+                "conv_impl=%s on a %d-chip mesh: Pallas custom calls are "
+                "not partitionable by GSPMD — operands will be gathered "
+                "per chip; expect no multi-chip speedup on kernel-claimed "
+                "layers", self.kernel_impl, n_chips,
+            )
 
     def configure_chips(
         self, chips: Optional[str], frames_per_step: int, mode: str = "dp",
