@@ -140,8 +140,14 @@ class TestHostPlaneSustain:
         args = argparse.Namespace(
             height=1080, width=1920, scale=2, frames=24, batch=4
         )
-        fps = run(args, "null")
-        # measured 49-58 fps on the 1-core round-3 host; floor leaves 10x
-        # headroom for CI noise while still catching an O(N) regression
-        # (pre-fix state measured 3.9-8.3 fps)
-        assert fps > 10.0, f"host plane sustained only {fps:.1f} fps"
+        # Throughput CAPABILITY check: best of three attempts.  Ambient
+        # load on a shared 1-core CI host can fake a failure (measured
+        # 4-22 fps for the SAME build across minutes) but cannot fake a
+        # pass; an O(N) regression (pre-fix state: 3.9-8.3 fps) fails all
+        # three.  Measured capability 21-58 fps across round-3 hosts.
+        best = 0.0
+        for _ in range(3):
+            best = max(best, run(args, "null"))
+            if best > 10.0:
+                break
+        assert best > 10.0, f"host plane sustained only {best:.1f} fps"
