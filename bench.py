@@ -46,7 +46,13 @@ def _step_flops(step_fn, x) -> float:
     import jax
 
     try:
-        analysis = jax.jit(step_fn).lower(x).compile().cost_analysis()
+        lowered = jax.jit(step_fn).lower(x)
+        try:
+            # pre-compile cost analysis where available (avoids a second
+            # full XLA compile of the step program just for metadata)
+            analysis = lowered.cost_analysis()
+        except Exception:
+            analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, list):  # older jax returns [dict]
             analysis = analysis[0]
         return float(analysis.get("flops", 0.0))
@@ -230,7 +236,11 @@ VALAR_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main() -> int:
     args = build_args().parse_args()
-    valar = bool(args.models) and "r" in args.models.split(",")
+    from upscale_video_tpu.pipeline.chain import ChainSpec
+
+    # the engine's OWN parse decides the family — a hand-rolled split here
+    # desynchronized on whitespace ('a, r') and mislabeled the run
+    valar = ChainSpec.parse(args.models).real_life
     # Valar (1206 layers) traces/compiles for minutes and runs ~60x slower
     # per frame — the chained protocol needs far shorter chains
     if args.chain is None:
@@ -248,6 +258,8 @@ def main() -> int:
     baseline_fps = 1.4  # README.md:149 (Arc A750, 1920x800 2x)
     suffix = "" if args.mode == "device" else "_pipeline"
     family = "4x_valar" if valar else "2x_compact"
+    # 4x of 1080p is 8K (7680x4320), not 4K — name the unit of work right
+    geom = "1080p_to_8k" if valar else "1080p_to_4k"
     if valar:
         # persist for the headline run's artifact: the driver invokes the
         # default bench only, and a cold Valar compile there would risk its
@@ -260,7 +272,7 @@ def main() -> int:
         extras["valar_fps"] = side.get("valar_fps")
     print(json.dumps({
         "metric": (
-            f"upscaled_frames_per_sec_per_chip_1080p_to_4k_{family}{suffix}"
+            f"upscaled_frames_per_sec_per_chip_{geom}_{family}{suffix}"
         ),
         "value": round(fps, 3),
         "unit": "frames/sec",

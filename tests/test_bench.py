@@ -49,6 +49,24 @@ def test_valar_mode_writes_sidecar_and_headline_carries_it(
     assert out2["valar_fps"] == 0.41
 
 
+def test_valar_detection_uses_chain_parse(capsys, monkeypatch, tmp_path):
+    """Family detection must agree with the engine's OWN DSL parse —
+    a hand-rolled split desynchronized on whitespace ('a, r') and ran the
+    Compact protocol against the Valar engine."""
+    monkeypatch.setattr(bench, "VALAR_SIDECAR", str(tmp_path / "v.json"))
+    seen = {}
+
+    def fake(args):
+        seen.update(batch=args.batch)
+        return (0.4, {})
+
+    monkeypatch.setattr(bench, "run_device_mode", fake)
+    out = _run(capsys, ["--models", "a, r"])
+    assert out["metric"].endswith("4x_valar")
+    assert "1080p_to_8k" in out["metric"]  # 4x of 1080p is 8K, not 4K
+    assert seen["batch"] == 1  # Valar protocol engaged
+
+
 def test_valar_defaults_shorten_chain(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "VALAR_SIDECAR", str(tmp_path / "v.json"))
     seen = {}

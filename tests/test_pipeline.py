@@ -68,6 +68,20 @@ class TestBatchedStepper:
         for i, o in enumerate(outs):
             assert o[0, 0, 0] == i + 1  # order preserved, padding dropped
 
+    def test_mid_batch_shape_change_raises(self):
+        """A frame-geometry change mid-batch must fail loudly — a silent
+        buffer reallocation would ship the frames already copied in as
+        uninitialized memory."""
+        s = BatchedStepper(lambda x: x, 4)
+        s.feed(np.zeros((2, 2, 3), np.uint8))
+        with pytest.raises(ValueError, match="shape changed mid-batch"):
+            s.feed(np.zeros((4, 2, 3), np.uint8))
+        # at a batch boundary (count == 0) a new geometry is fine
+        s2 = BatchedStepper(lambda x: x, 1)
+        s2.feed(np.zeros((2, 2, 3), np.uint8))
+        s2.feed(np.zeros((4, 2, 3), np.uint8))
+        assert len(s2.flush()) == 1
+
 
 class TestProcessFile:
     def test_stream_plane_end_to_end(self, tmp_path):

@@ -40,6 +40,13 @@ def test_planar_to_frames_matches_loop_reference(rng):
     got = planar_to_frames(p, 2)
     assert got.shape == (2, 10, 14, 3)
     np.testing.assert_array_equal(got[1], _shuffle_ref(p[1], 2))
+    # batched form must fill a caller-provided buffer (the hot-path
+    # contract: AsyncSink reuses one buffer to avoid per-frame allocs)
+    out = np.zeros((2, 10, 14, 3), np.uint8)
+    ret = planar_to_frames(p, 2, out=out)
+    assert ret is out
+    np.testing.assert_array_equal(out[0], _shuffle_ref(p[0], 2))
+    np.testing.assert_array_equal(out[1], _shuffle_ref(p[1], 2))
 
 
 class TestExecutorPlanarTail:

@@ -226,6 +226,33 @@ def test_rdb_leak_guard(rng):
     assert "leak_probe" not in absorbed
 
 
+def test_rdb_planner_rejects_non_same_geometry(rng):
+    """A conv matching the block skeleton but with stride/dilation/pad
+    outside the SAME/stride-1 class rdb_apply computes must NOT be claimed
+    (it would be fused with the wrong semantics; the exact per-layer path
+    handles it)."""
+    from upscale_video_tpu.models.executor import _plan_rdb_blocks
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    def consumers_of(g):
+        out = {}
+        for i, layer in enumerate(g.layers):
+            for b in layer.inputs:
+                out.setdefault(b, []).append(i)
+        return out
+
+    for attr, bad in ((3, 2), (2, 2), (4, 0)):  # stride, dilation, pad
+        g = make_rrdb_graph(scale=4, num_rrdb=1)
+        baseline, _ = _plan_rdb_blocks(g, consumers_of(g))
+        assert len(baseline) == 3
+        conv = next(l for l in g.layers
+                    if l.type == "Convolution" and l.attr_i(0) == 32)
+        conv.attrs[attr] = bad
+        blocks, absorbed = _plan_rdb_blocks(g, consumers_of(g))
+        assert len(blocks) == 2, f"attr {attr}={bad} not rejected"
+        assert conv.name not in absorbed
+
+
 @pytest.mark.skipif(
     not reference_models_available(), reason="reference zoo absent"
 )

@@ -560,6 +560,12 @@ def _plan_rdb_blocks(graph: NcnnGraph, consumers: Dict[str, List[int]]):
             return False
         if layer.attr_i(0) != n_out or layer.attr_i(1) != k:
             return False
+        # geometry must be the SAME/stride-1/dilation-1 class rdb_apply
+        # computes: a strided / VALID / dilated conv that happens to match
+        # the block skeleton must fall back to the exact per-layer path
+        # (same guard class as _dense_conv_class for the scatter rewrite)
+        if _dense_conv_class(layer) != ("3x3" if k == 3 else "1x1"):
+            return False
         act = layer.attr_i(9, 0)
         return act == 2 if leaky else act == 0
 

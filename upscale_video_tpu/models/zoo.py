@@ -110,6 +110,15 @@ class Model:
             )
         return self._frames_forward[key]
 
+    def invalidate_forwards(self) -> None:
+        """Drop every cached built forward so the next access rebuilds from
+        the current ``pallas_conv``/``rdb_kernel`` flags.  Lives next to the
+        cache fields so anyone adding a new derived-forward cache sees the
+        invalidation contract (chain.py's mesh demotion depends on it)."""
+        self._forward = None
+        self._frames_forward = None
+        self._jitted = None
+
     @property
     def jitted(self) -> Callable:
         """``jit(forward)`` with params closed over as constants donated to

@@ -255,7 +255,13 @@ def winograd_chain(
     for l in layers:
         w = l["weight"]
         kh, kw, cin, cout = w.shape
-        assert (kh, kw) == (3, 3) and cin <= 128 and cout <= 128
+        if (kh, kw) != (3, 3) or cin > 128 or cout > 128:
+            # must survive `python -O`: a non-3x3 weight reshaped by
+            # transform_weights would silently compute garbage
+            raise ValueError(
+                f"winograd_chain needs 3x3 convs with <=128 channels, "
+                f"got weight {w.shape}"
+            )
         wmats.append(jnp.asarray(transform_weights(w), jnp.bfloat16))
         b = l.get("bias")
         biases.append(

@@ -77,7 +77,11 @@ def planar_to_frames(p: np.ndarray, s: int,
     """
     p = np.asarray(p)
     if p.ndim == 4:
-        return np.stack([planar_to_frames(f, s) for f in p])
+        if out is None:
+            return np.stack([planar_to_frames(f, s) for f in p])
+        for i in range(p.shape[0]):  # fill the caller's buffer per frame
+            planar_to_frames(p[i], s, out=out[i])
+        return out
     h, w, c = p.shape
     if c % (s * s):
         # survives `python -O` (a wrong factor would mis-stride the

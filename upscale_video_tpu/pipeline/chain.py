@@ -377,7 +377,12 @@ class ChainEngine:
         """Roofline guardrail for ``--parallel tp`` (NOTES.md): sharding
         output channels across chips drops per-chip MXU lane fill below one
         pass for sub-128-channel convs, so tp almost certainly trails dp/sp
-        for these models — say so instead of silently shipping the loss."""
+        for these models — say so instead of silently shipping the loss.
+        Once per engine (several programs get finalized: step, planar_step,
+        the PNG plane's stage_fns — one warning covers them all)."""
+        if getattr(self, "_tp_warned", False):
+            return
+        self._tp_warned = True
         widths = [
             int(a.shape[-1])
             for m in (self.anime_model, self.sr_model) if m is not None
@@ -447,9 +452,7 @@ class ChainEngine:
             for m in models:
                 m.rdb_kernel = False
                 m.pallas_conv = False
-                m._forward = None  # rebuilt without kernel plans
-                m._frames_forward = None
-                m._jitted = None
+                m.invalidate_forwards()  # rebuilt without kernel plans
         else:
             log.warning(
                 "conv_impl=%s on a %d-chip mesh: Pallas custom calls are "
@@ -558,6 +561,15 @@ class BatchedStepper:
     def _buf_for(self, frame: np.ndarray) -> np.ndarray:
         buf = self._bufs[self._slot]
         if buf is None or buf.shape[1:] != frame.shape:
+            if self._count:
+                # a silent reallocation here would ship the already-copied
+                # frames as uninitialized memory — fail loudly instead
+                # (frame geometry is constant within one video)
+                raise ValueError(
+                    f"frame shape changed mid-batch: buffer holds "
+                    f"{self._count} frame(s) of {buf.shape[1:]}, got "
+                    f"{frame.shape}"
+                )
             buf = np.empty((self.n, *frame.shape), frame.dtype)
             self._bufs[self._slot] = buf
         return buf
