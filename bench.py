@@ -234,8 +234,33 @@ VALAR_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_valar.json")
 
 
+def _backend_reachable(timeout: float = 120.0) -> bool:
+    """Bounded device probe: during a remote-backend outage an in-process
+    jax.devices() hangs ~20 minutes before raising UNAVAILABLE (observed
+    round 3) — fail fast with a diagnostic instead of eating the driver's
+    whole timeout."""
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return probe.returncode == 0
+    except Exception:
+        return False
+
+
 def main() -> int:
     args = build_args().parse_args()
+    if not _backend_reachable():
+        print(
+            "bench: accelerator backend unreachable (remote TPU outage?) — "
+            "no measurement possible",
+            file=sys.stderr,
+        )
+        return 1
     from upscale_video_tpu.pipeline.chain import ChainSpec
 
     # the engine's OWN parse decides the family — a hand-rolled split here

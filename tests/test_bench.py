@@ -9,6 +9,26 @@ import pytest
 import bench
 
 
+@pytest.fixture(autouse=True)
+def fake_backend_probe(monkeypatch):
+    # the real probe spawns a jax-importing subprocess (and would hang on
+    # the tunneled TPU during an outage) — contract tests stub it
+    monkeypatch.setattr(bench, "_backend_reachable", lambda *a, **k: True)
+
+
+def test_unreachable_backend_fails_fast(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_backend_reachable", lambda *a, **k: False)
+    old = sys.argv
+    sys.argv = ["bench.py"]
+    try:
+        assert bench.main() == 1
+    finally:
+        sys.argv = old
+    out = capsys.readouterr()
+    assert out.out == ""  # stdout stays reserved for the one JSON line
+    assert "unreachable" in out.err
+
+
 @pytest.fixture
 def fake_device_mode(monkeypatch):
     monkeypatch.setattr(bench, "run_device_mode",
