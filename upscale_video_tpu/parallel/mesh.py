@@ -98,7 +98,19 @@ def initialize_multihost() -> int:
     """
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if addr:
+        # explicit generic contract (any cluster manager can export these
+        # three; integration-tested cross-process in tests/test_multihost.py)
+        num = os.environ.get("NUM_PROCESSES")
+        pid = os.environ.get("PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
+    elif os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        # jointly-scheduled TPU pod: jax auto-detects topology
         jax.distributed.initialize()
     return jax.process_count()
 
