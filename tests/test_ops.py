@@ -138,6 +138,32 @@ class TestTiling:
             assert math.ceil(h / th) * th - h < th
             assert math.ceil(w / tw) * tw - w < tw
 
+    def test_fit_tile_grid_properties_random(self, rng):
+        """Invariants over random geometry: coverage, budget, 8-alignment,
+        and per-axis padding waste under 8 px (the contract tiled_apply's
+        reassembly math relies on)."""
+        import math
+
+        from upscale_video_tpu.ops.tiling import fit_tile_grid
+
+        for _ in range(200):
+            h = int(rng.integers(1, 5000))
+            w = int(rng.integers(1, 5000))
+            budget = int(rng.integers(8, 1200))
+            th, tw = fit_tile_grid(h, w, budget)
+            assert 1 <= th <= budget and 1 <= tw <= budget
+            assert th % 8 == 0 or th == budget
+            assert tw % 8 == 0 or tw == budget
+            ty, tx = math.ceil(h / th), math.ceil(w / tw)
+            assert ty * th >= h and tx * tw >= w  # coverage
+            # per-tile memory never above the square budget's
+            assert th * tw <= budget * budget
+            # rounding waste: under 8 px per axis unless budget-capped
+            if th < budget:
+                assert ty * th - h < 8 * ty
+            if tw < budget:
+                assert tx * tw - w < 8 * tx
+
 
 class TestNLMeans:
     def test_reduces_noise(self, rng):
