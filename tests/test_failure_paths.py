@@ -84,6 +84,54 @@ class TestPartialFragmentCleanup:
         # the partial fragment must NOT survive to poison a resume
         assert not os.path.exists(os.path.join(workdir, "1.y4m"))
 
+    def test_device_step_failure_removes_partial_fragment(self, tmp_path):
+        """A DEVICE-side failure mid-batch (the class a TPU backend outage
+        raises: XlaRuntimeError UNAVAILABLE) must also purge the partial
+        fragment so a resume cannot trust it — and the resume must then
+        complete."""
+        from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+        import jax.numpy as jnp
+
+        vid = str(tmp_path / "in.y4m")
+        make_test_video(vid, n_frames=6)
+        tdir = str(tmp_path / "t")
+
+        engine = ChainEngine.build(
+            ChainSpec.parse(None), 2, compute_dtype=jnp.float32,
+            synthetic=True,
+        )
+        real = engine.planar_step if engine.planar_scale else engine.step
+        state = {"n": 0}
+
+        def dying_step(x):
+            state["n"] += 1
+            if state["n"] > 1:
+                raise RuntimeError("UNAVAILABLE: TPU backend went away")
+            return real(x)
+
+        engine._planar_step = dying_step
+        engine._step = dying_step
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            process_file(
+                vid, output_file=str(tmp_path / "o.y4m"), scale=2,
+                temp_dir=tdir, engine=engine, frames_per_step=2,
+                resume_processing=True,
+            )
+        workdir = os.path.join(tdir, "upscale_video")
+        assert not os.path.exists(os.path.join(workdir, "1.y4m"))
+
+        # a fresh engine (backend back) resumes to a complete output
+        engine2 = ChainEngine.build(
+            ChainSpec.parse(None), 2, compute_dtype=jnp.float32,
+            synthetic=True,
+        )
+        res = process_file(
+            vid, output_file=str(tmp_path / "o.y4m"), scale=2,
+            temp_dir=tdir, engine=engine2, frames_per_step=2,
+            resume_processing=True,
+        )
+        assert res.frames_processed == 6
+
 
 class TestCrashResume:
     def test_interrupted_run_resumes_to_identical_output(self, tmp_path, monkeypatch):
