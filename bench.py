@@ -237,8 +237,8 @@ VALAR_SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _backend_reachable(timeout: float = 120.0) -> bool:
     """Bounded device probe: during a remote-backend outage an in-process
     jax.devices() hangs ~20 minutes before raising UNAVAILABLE (observed
-    round 3) — fail fast with a diagnostic instead of eating the driver's
-    whole timeout."""
+    round 3) — probe in a subprocess instead of eating the driver's whole
+    timeout in-process."""
     import subprocess
 
     try:
@@ -252,9 +252,30 @@ def _backend_reachable(timeout: float = 120.0) -> bool:
         return False
 
 
+def _await_backend() -> bool:
+    """Retry the bounded probe for up to UPSCALE_TPU_BENCH_WAIT_S seconds
+    (default 15 min): round-3 saw a multi-hour remote outage — if the
+    measurement run lands near its tail, a bounded wait converts a lost
+    round artifact into a number. 0 disables the wait (single probe)."""
+    budget = float(os.environ.get("UPSCALE_TPU_BENCH_WAIT_S", "900"))
+    deadline = time.monotonic() + budget
+    while True:
+        if _backend_reachable():
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(
+            f"bench: backend unreachable, retrying for another "
+            f"{remaining:.0f}s ...",
+            file=sys.stderr,
+        )
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 def main() -> int:
     args = build_args().parse_args()
-    if not _backend_reachable():
+    if not _await_backend():
         print(
             "bench: accelerator backend unreachable (remote TPU outage?) — "
             "no measurement possible",

@@ -18,6 +18,7 @@ def fake_backend_probe(monkeypatch):
 
 def test_unreachable_backend_fails_fast(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_backend_reachable", lambda *a, **k: False)
+    monkeypatch.setenv("UPSCALE_TPU_BENCH_WAIT_S", "0")
     old = sys.argv
     sys.argv = ["bench.py"]
     try:
@@ -27,6 +28,20 @@ def test_unreachable_backend_fails_fast(monkeypatch, capsys):
     out = capsys.readouterr()
     assert out.out == ""  # stdout stays reserved for the one JSON line
     assert "unreachable" in out.err
+
+
+def test_backend_wait_retries_until_up(monkeypatch):
+    # outage that ends mid-wait: _await_backend keeps probing and returns
+    # True once the backend answers, without consuming the full budget
+    states = iter([False, False, True])
+    monkeypatch.setattr(bench, "_backend_reachable",
+                        lambda *a, **k: next(states))
+    monkeypatch.setenv("UPSCALE_TPU_BENCH_WAIT_S", "3600")
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    assert bench._await_backend() is True
+    assert len(sleeps) == 2
+    assert all(s <= 60.0 for s in sleeps)
 
 
 @pytest.fixture

@@ -401,3 +401,29 @@ def test_pipe_sink_rejects_non_uint8(tmp_path):
     sink._native = None
     with pytest.raises(ValueError, match="uint8"):
         sink.write(np.zeros((3, 4, 3), np.float32))
+
+
+def test_as_fraction_accepts_all_frame_rate_spellings():
+    # ffprobe gives strings, the hermetic probe Fractions, users naturally
+    # write tuples/floats — all must reach the same exact Fraction
+    from upscale_video_tpu.video.io import as_fraction
+
+    assert as_fraction("30000/1001") == Fraction(30000, 1001)
+    assert as_fraction((24, 1)) == Fraction(24, 1)
+    assert as_fraction([30000, 1001]) == Fraction(30000, 1001)
+    assert as_fraction(Fraction(25, 1)) == Fraction(25, 1)
+    assert as_fraction(24) == Fraction(24, 1)
+    # floats snap to the nearest small-denominator rate (ntsc 23.976)
+    assert as_fraction(23.976) == Fraction(2997, 125)
+
+    # a tuple now works end to end through open_sink (the spelling that
+    # crashed before this helper existed)
+    import io as _io
+
+    from upscale_video_tpu.video.io import Y4MSink
+
+    buf = _io.BytesIO()
+    sink = Y4MSink(buf, width=4, height=2, frame_rate=(24, 1))
+    sink.write(np.zeros((2, 4, 3), np.uint8))
+    sink.close()
+    assert buf.getvalue().startswith(b"YUV4MPEG2 W4 H2 F24:1 ")

@@ -29,6 +29,21 @@ from typing import IO, Iterator, List, Optional
 import numpy as np
 
 
+def as_fraction(frame_rate) -> Fraction:
+    """Coerce any reasonable frame-rate spelling — "24/1", Fraction,
+    (num, den) tuple, int, float — to an exact Fraction.  ffprobe hands out
+    strings, the hermetic probe hands out Fractions, and callers naturally
+    write (24, 1); all must work (Fraction() itself rejects tuples)."""
+    if isinstance(frame_rate, Fraction):
+        return frame_rate
+    if isinstance(frame_rate, (tuple, list)):
+        num, den = frame_rate
+        return Fraction(int(num), int(den))
+    if isinstance(frame_rate, float):
+        return Fraction(frame_rate).limit_denominator(1001)
+    return Fraction(frame_rate)
+
+
 class FrameSource(ABC):
     """Iterates uint8 RGB (H, W, 3) frames."""
 
@@ -219,7 +234,7 @@ class Y4MSink(FrameSink):
             open(path_or_file, "wb") if self._own else path_or_file
         )
         self.width, self.height = width, height
-        fr = Fraction(frame_rate)
+        fr = as_fraction(frame_rate)
         self._f.write(
             f"YUV4MPEG2 W{width} H{height} F{fr.numerator}:{fr.denominator} "
             f"Ip A1:1 C444\n".encode()
@@ -261,7 +276,7 @@ class PngDirSource(FrameSource):
         self._Image = Image
         self.dir = directory
         self.tag = tag
-        self.frame_rate = Fraction(frame_rate)
+        self.frame_rate = as_fraction(frame_rate)
         self._next = start
         self._end = end
         first = self._path(start)
@@ -351,7 +366,7 @@ class FfmpegPipeSource(FrameSource):
                  seek_mode: str = "ss",
                  extra_args: Optional[List[str]] = None, native: bool = True):
         self.width, self.height = width, height
-        self.frame_rate = Fraction(frame_rate)
+        self.frame_rate = as_fraction(frame_rate)
         self.num_frames = num_frames
         cmds = [ffmpeg, "-hide_banner", "-loglevel", "error",
                 "-hwaccel", "auto"]
@@ -447,7 +462,7 @@ class FfmpegPipeSink(FrameSink):
                  extra_args: Optional[List[str]] = None, native: bool = True,
                  flush_timeout_ms: Optional[int] = None):
         self.width, self.height = width, height
-        fr = Fraction(frame_rate)
+        fr = as_fraction(frame_rate)
         cmds = [ffmpeg, "-hide_banner", "-loglevel", "error", "-y",
                 "-f", "rawvideo", "-pix_fmt", "rgb24",
                 "-s", f"{width}x{height}",
