@@ -10,6 +10,10 @@ import os
 
 # force-override: the host image exports JAX_PLATFORMS=axon,cpu (real TPU)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the suite must never probe the real backend (dryrun_multichip's bounded
+# device-count probe would hit the tunneled chip — and burn its full 90 s
+# timeout during an outage)
+os.environ["UPSCALE_TPU_DRYRUN_FORCE_VIRTUAL"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
