@@ -116,8 +116,9 @@ class TestProcessImage:
         vid = str(tmp_path / "in.y4m")
         make_test_video(vid, n_frames=4)
         tdir = str(tmp_path / "t")
+        # NOT pre-created: the reference crashes on a missing output dir
+        # (test_images.py:71-75), a latent defect we don't reproduce
         outdir = str(tmp_path / "samples")
-        os.makedirs(outdir)
         from upscale_video_tpu.pipeline.process import process_file
 
         process_file(vid, scale=2, temp_dir=tdir, extract_only=True,

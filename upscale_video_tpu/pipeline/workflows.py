@@ -419,6 +419,10 @@ def process_image(
         os.path.join(temp_dir or tempfile.gettempdir(), "upscale_video")
     )
     frames = parse_frame_ranges(input_frames)
+    # the reference crashes with FileNotFoundError when the output dir does
+    # not exist yet (test_images.py:71-75 copies into it unconditionally) —
+    # a latent defect deliberately not reproduced
+    os.makedirs(output_dir, exist_ok=True)
     for f in frames:
         shutil.copyfile(
             os.path.join(workdir, f"{f}.extract.png"),
