@@ -141,7 +141,11 @@ class HermeticBackend(VideoBackend):
             with open(cache) as f:
                 return json.load(f)
         if input_file is None:
-            raise FileNotFoundError("metadata.json not found and no input file")
+            raise FileNotFoundError(
+                f"no metadata.json in {workdir!r} and no input file — for "
+                "merge-only, -t must be the PARENT of the 'upscale_video' "
+                "dir holding the upscale box's zips and metadata.json"
+            )
         if os.path.isdir(input_file):
             src = PngDirSource(input_file, tag="")
             # count only untagged frame files ({n}.png): stage artifacts

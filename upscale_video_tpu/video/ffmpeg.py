@@ -194,7 +194,12 @@ def get_metadata(
         log.info("metadata cache hit: %d frames", info["number_of_frames"])
         return info
     if input_file is None:
-        raise FileNotFoundError("metadata.json not found and no input file given")
+        raise FileNotFoundError(
+            f"no metadata.json in {os.path.dirname(cache) or '.'!r} and no "
+            "input file — for merge-only, -t must be the PARENT of the "
+            "'upscale_video' dir holding the upscale box's zips and "
+            "metadata.json"
+        )
 
     result = runner(probe_cmd(ffmpeg, input_file))
     if result.returncode != 0:
