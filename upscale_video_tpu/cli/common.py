@@ -9,7 +9,9 @@ def add_model_chain_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "-m", "--models",
         help="Additional processing: 'a' for anime deblur, 'n={level}' for "
-             "denoise (1-30), 'r' for real-life 4x model. Example: -m a,n=3,r",
+             "denoise (1-30), 'r' for real-life 4x model. Example: -m a,n=3,r. "
+             "Also 'sr={stem}' to use a custom SR model file "
+             "{scale}{stem}.param/.bin (e.g. from vsr-import).",
     )
     p.add_argument(
         "-s", "--scale", type=int, default=2,

@@ -245,19 +245,30 @@ def make_rrdb_graph(
     num_feat: int = 64,
     num_grow: int = 32,
     num_rrdb: int = 2,
+    variant: str = "valar",
 ) -> NcnnGraph:
     """Build an RRDBNet-architecture graph programmatically.
 
-    Mirrors the exact layer structure of ``4x_Valar_v1.param`` (ESRGAN
-    real-life model, reference upscale_processing.py:914): RRDB trunk of
-    ``num_rrdb`` blocks (3 residual-dense blocks each; every RDB is 5
-    dense 3x3 convs over growing concats + a 1x1 skip conv, residual
-    scale 0.2), trunk conv + global skip, then nearest-2x + conv
+    ``variant="valar"`` mirrors the exact layer structure of
+    ``4x_Valar_v1.param`` (ESRGAN real-life model, reference
+    upscale_processing.py:914): RRDB trunk of ``num_rrdb`` blocks (3
+    residual-dense blocks each; every RDB is 5 dense 3x3 convs over
+    growing concats + a 1x1 skip conv and interior residual adds,
+    residual scale 0.2), trunk conv + global skip, then nearest-2x + conv
     upsampling to ``scale``.  With ``num_rrdb=23`` this is layer-count
     and FLOP-identical to the real Valar graph (modulo ncnn Split
     bookkeeping layers, which this executor does not require).  Used for
     hermetic dense-scatter tests and the Valar-family benchmark.
+
+    ``variant="esrgan"`` is the vanilla basicsr ``RRDBNet``: each RDB is
+    the plain 5-conv dense block (conv1..conv4 lrelu-0.2 over growing
+    concats, conv5 linear back to ``num_feat``, out = 0.2*conv5 + x) with
+    no 1x1 skip and no interior adds — the structure of the upstream
+    RealESRGAN_x4plus-family torch checkpoints (models/torch_import.py
+    maps ``body.{i}.rdb{j}.conv{k}`` onto ``r{i}d{j-1}_c{k}`` here).
     """
+    if variant not in ("valar", "esrgan"):
+        raise ValueError(f"unknown RRDB variant {variant!r}")
     layers = [NcnnLayer("Input", "input", [], ["input"])]
     uid = [0]
 
@@ -295,7 +306,7 @@ def make_rrdb_graph(
         ))
         return out
 
-    def rdb(tag, x0):
+    def rdb_valar(tag, x0):
         x1 = conv(f"{tag}_c1", x0, num_feat, num_grow, act=0.2)
         c4 = conv(f"{tag}_c4", cat(f"{tag}_cat1", [x0, x1]),
                   num_feat + num_grow, num_grow, act=0.2)
@@ -309,6 +320,21 @@ def make_rrdb_graph(
         c16 = conv(f"{tag}_c16", cat(f"{tag}_cat4", [x0, x1, x2, x3, x4]),
                    num_feat + 4 * num_grow, num_feat)
         return residual(f"{tag}_res", c16, x0)
+
+    def rdb_esrgan(tag, x0):
+        feats = [x0]
+        for k in range(1, 5):
+            nxt = conv(
+                f"{tag}_c{k}",
+                feats[0] if k == 1 else cat(f"{tag}_cat{k - 1}", feats),
+                num_feat + (k - 1) * num_grow, num_grow, act=0.2,
+            )
+            feats.append(nxt)
+        x5 = conv(f"{tag}_c5", cat(f"{tag}_cat4", feats),
+                  num_feat + 4 * num_grow, num_feat)
+        return residual(f"{tag}_res", x5, x0)
+
+    rdb = rdb_valar if variant == "valar" else rdb_esrgan
 
     fea = conv("conv_first", "input", 3, num_feat)
     x = fea

@@ -39,11 +39,18 @@ class ChainSpec:
     anime: bool = False
     denoise: Optional[int] = None  # 1..30 or None
     real_life: bool = False
+    sr_file: Optional[str] = None  # custom SR model stem suffix (sr=...)
 
     @classmethod
     def parse(cls, models: Optional[str]) -> "ChainSpec":
         """Parse ``"a,n=3,r"`` with the reference's clamping semantics
-        (upscale_processing.py:774-789: n>30 -> 30, n<=0 -> off)."""
+        (upscale_processing.py:774-789: n>30 -> 30, n<=0 -> off).
+
+        Beyond the reference DSL: ``sr=<stem_suffix>`` selects a custom SR
+        model file (``{scale}{stem_suffix}.param/.bin`` in the model dir,
+        the reference's ``str(scale) + model_file`` naming at :70) — e.g.
+        a checkpoint converted with ``vsr-import``.  Mutually exclusive
+        with ``r``, which is shorthand for the stock Valar file."""
         spec = cls()
         if not models:
             return spec
@@ -56,8 +63,15 @@ class ChainSpec:
             elif item.startswith("n="):
                 level = int(item[2:])
                 spec.denoise = min(level, 30) if level > 0 else None
+            elif item.startswith("sr="):
+                spec.sr_file = item[3:]
+                if not spec.sr_file:
+                    raise ValueError("sr= needs a model file stem suffix")
             elif item:
                 raise ValueError(f"unknown model chain item {item!r}")
+        if spec.real_life and spec.sr_file:
+            raise ValueError("'r' and 'sr=' both select the SR model — "
+                             "pass one")
         return spec
 
     def effective_scale(self, scale: int) -> int:
@@ -70,7 +84,10 @@ class ChainSpec:
             out.append(f"denoise(h={self.denoise})")
         if self.anime:
             out.append("anime-deblur")
-        out.append("valar-4x" if self.real_life else "compact-sr")
+        if self.sr_file:
+            out.append(f"sr({self.sr_file})")
+        else:
+            out.append("valar-4x" if self.real_life else "compact-sr")
         return out
 
 
@@ -163,7 +180,14 @@ class ChainEngine:
                         scale=scale, compute_dtype=compute_dtype
                     )
             else:
-                role = "valar" if spec.real_life else "compact"
+                # sr=<stem> (e.g. a vsr-import conversion) overrides the
+                # stock role; custom RRDB-family imports still ride the
+                # generic dense-scatter rewrite, but the fused RDB kernel
+                # stays keyed to 'r' (its planner matches graph structure,
+                # and auto policy is measured per stock family)
+                role = spec.sr_file or (
+                    "valar" if spec.real_life else "compact"
+                )
                 sr_model = load_model(role, scale, model_path, compute_dtype)
             sr_model.pallas_conv = pallas_conv
             sr_model.rdb_kernel = rdb_kernel
