@@ -82,6 +82,9 @@ def rrdb_forward(sd, x):
             feats.append(lrelu(conv(f"{prefix}.conv{k}", torch.cat(feats, 1))))
         return conv(f"{prefix}.conv5", torch.cat(feats, 1)) * 0.2 + x0
 
+    in_ch = sd["conv_first.weight"].shape[1]
+    if in_ch > 3:  # basicsr x2/x1 variants unshuffle the input first
+        x = F.pixel_unshuffle(x, int((in_ch // 3) ** 0.5))
     feat = conv("conv_first", x)
     trunk = feat
     i = 0
@@ -146,15 +149,43 @@ def test_rrdb_import_matches_torch():
     assert diff < 1e-4, f"rrdb import mismatch: {diff}"
 
 
+def test_rrdb_unshuffle_x2_import_matches_torch():
+    """RealESRGAN_x2plus class: 12-channel conv_first = pixel-unshuffle(2)
+    before the trunk, net scale 4/2 = 2."""
+    import jax.numpy as jnp
+
+    sd = make_rrdb_sd(num_rrdb=1, num_feat=8, num_grow=4, ups=2)
+    sd["conv_first.weight"] = _t(8, 12, 3, 3)
+    model = import_torch_checkpoint(sd, compute_dtype=jnp.float32)
+    assert model.scale == 2 and model.name == "2x_torch_rrdb"
+    diff = _ours_vs_torch(model, sd, lambda x: rrdb_forward(sd, x), h=8, w=12)
+    assert diff < 1e-4, f"x2plus import mismatch: {diff}"
+
+    # the Reorg layer round-trips through the ncnn param/bin emit + reload
+    import tempfile
+
+    from upscale_video_tpu.models.zoo import load_model
+
+    with tempfile.TemporaryDirectory() as td:
+        model.save(td, stem="2x_unshuf")
+        re = load_model("x_unshuf", scale=2, model_path=td,
+                        compute_dtype=jnp.float32)
+        assert any(l.type == "Reorg" for l in re.graph.layers)
+        x = jnp.asarray(RNG.uniform(0, 1, (1, 8, 12, 3)).astype(np.float32))
+        a = np.asarray(model.forward(model.params, x))
+        b = np.asarray(re.forward(re.params, x))
+        assert float(np.abs(a - b).max()) < 2e-3  # fp16 storage
+
+
 def test_detect_and_reject():
     assert detect_arch(make_srvgg_sd()) == "srvgg"
     assert detect_arch(make_rrdb_sd()) == "rrdb"
     with pytest.raises(ValueError, match="unrecognized"):
         detect_arch({"foo.weight": np.zeros((1,))})
-    # pixel-unshuffle (x2) RRDBNet variants take 12-channel input
+    # 27 input channels is no known RRDBNet input contract
     sd = make_rrdb_sd()
-    sd["conv_first.weight"] = _t(8, 12, 3, 3)
-    with pytest.raises(ValueError, match="pixel-unshuffle"):
+    sd["conv_first.weight"] = _t(8, 27, 3, 3)
+    with pytest.raises(ValueError, match="input channels"):
         import_torch_checkpoint(sd)
 
 

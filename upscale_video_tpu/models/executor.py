@@ -296,6 +296,23 @@ def _op_dropout(layer: NcnnLayer, inputs, p, compute_dtype):
     return inputs[0] if scale == 1.0 else inputs[0] * scale
 
 
+def _op_reorg(layer: NcnnLayer, inputs, p, compute_dtype):
+    """ncnn Reorg (attr 0 = stride r): space-to-depth, the inverse of
+    :func:`_op_pixelshuffle` mode 0 — input channel ``c`` at pixel
+    (y*r+i, x*r+j) lands in output channel ``c*r*r + i*r + j`` (torch
+    ``pixel_unshuffle`` semantics; used by the x2/x1 RRDBNet checkpoint
+    variants imported via models/torch_import.py, whose forward unshuffles
+    the input before conv_first)."""
+    (x,) = inputs
+    r = layer.attr_i(0, 1)
+    if r == 1:
+        return x
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)  # n, h, i, w, j, c
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # n, h, w, c, i, j
+    return x.reshape(n, h // r, w // r, c * r * r)
+
+
 OP_REGISTRY: Dict[str, Callable] = {
     "Input": _op_identity,
     "Split": _op_split,
@@ -312,6 +329,7 @@ OP_REGISTRY: Dict[str, Callable] = {
     "Sigmoid": _op_sigmoid,
     "Dropout": _op_dropout,
     "Noop": _op_identity,
+    "Reorg": _op_reorg,
 }
 
 
@@ -354,6 +372,11 @@ def _infer_blob_channels(graph: NcnnGraph) -> Dict[str, int]:
             r = layer.attr_i(0, 1)
             if c is not None and r and c % (r * r) == 0:
                 ch[layer.outputs[0]] = c // (r * r)
+        elif layer.type == "Reorg":
+            c = ch.get(layer.inputs[0])
+            r = layer.attr_i(0, 1)
+            if c is not None:
+                ch[layer.outputs[0]] = c * r * r
     return ch
 
 

@@ -19,7 +19,13 @@ Supported architectures (detected from state_dict keys):
   (reference models/2x_Compact_Pretrain.param:2-5 structure).
 - **RRDBNet** (basicsr naming: ``conv_first``, ``body.{i}.rdb{j}.conv{k}``,
   ``conv_body``, ``conv_up1/2``, ``conv_hr``, ``conv_last``) — the
-  real-life family (reference models/4x_Valar_v1.param class).
+  real-life family (reference models/4x_Valar_v1.param class), including
+  the pixel-unshuffle x2/x1 variants (12/48-channel ``conv_first``),
+  which map onto a Reorg layer.  Caveat for those variants only: this
+  framework executes its Reorg with torch ``pixel_unshuffle`` channel
+  order (executor._op_reorg, verified against torch); a re-exported
+  ``.param`` containing Reorg is untestable against the real ncnn engine
+  in this environment, so prefer running unshuffle imports natively.
 
 Channel-domain note: torch checkpoints are trained on RGB tensors, while
 this framework's model domain is BGR (reference parity: ncnn
@@ -86,15 +92,17 @@ def detect_arch(sd: Dict[str, np.ndarray]) -> str:
     )
 
 
-def _fold_bgr_first(w: np.ndarray) -> np.ndarray:
-    """Swap the input-channel order (HWIO axis 2) of the first conv."""
-    if w.shape[2] != 3:
+def _fold_bgr_first(w: np.ndarray, block: int = 1) -> np.ndarray:
+    """Swap the input-channel order (HWIO axis 2) of the first conv, in
+    ``block``-sized groups (block = r*r after a Reorg/pixel-unshuffle,
+    whose channel order is c*r*r + i*r + j)."""
+    if w.shape[2] != 3 * block:
         raise ValueError(
-            f"first conv takes {w.shape[2]} input channels — pixel-unshuffle "
-            "RRDBNet variants (x2/x1 checkpoints) are not supported; use a "
-            "3-channel-input checkpoint"
+            f"first conv takes {w.shape[2]} input channels, "
+            f"expected {3 * block}"
         )
-    return w[:, :, _BGR, :]
+    perm = np.concatenate([np.arange(c * block, (c + 1) * block) for c in _BGR])
+    return w[:, :, perm, :]
 
 
 def _fold_bgr_last(w: np.ndarray, b: Optional[np.ndarray], block: int):
@@ -161,24 +169,33 @@ def _import_rrdb(sd: Dict[str, np.ndarray], compute_dtype) -> Model:
     num_feat = int(sd["conv_first.weight"].shape[0])
     num_grow = int(sd["body.0.rdb1.conv1.weight"].shape[0])
     in_ch = int(sd["conv_first.weight"].shape[1])
-    if in_ch != 3:
+    # basicsr's x2/x1 variants pixel-unshuffle the input before conv_first
+    # (12 = 3*2*2 channels, 48 = 3*4*4); the graph gets a Reorg layer and
+    # the net scale is the upsampler's 4x divided by the unshuffle stride
+    unshuffle = {3: 1, 12: 2, 48: 4}.get(in_ch)
+    if unshuffle is None:
         raise ValueError(
-            f"conv_first takes {in_ch} channels — pixel-unshuffle RRDBNet "
-            "variants (x2/x1 checkpoints) are not supported"
+            f"conv_first takes {in_ch} input channels — expected 3 "
+            "(or 12/48 for the pixel-unshuffle x2/x1 variants)"
         )
     ups = sorted(
         int(m.group(1)) for k in sd if (m := re.match(r"conv_up(\d+)\.weight$", k))
     )
-    scale = 2 ** len(ups)
-    graph = make_rrdb_graph(scale=scale, num_feat=num_feat,
+    upscale = 2 ** len(ups)
+    scale, rem = divmod(upscale, unshuffle)
+    if rem:
+        raise ValueError(
+            f"upsampler x{upscale} not divisible by unshuffle x{unshuffle}"
+        )
+    graph = make_rrdb_graph(scale=upscale, num_feat=num_feat,
                             num_grow=num_grow, num_rrdb=num_rrdb,
-                            variant="esrgan")
+                            variant="esrgan", unshuffle=unshuffle)
 
     def conv_entry(torch_name, ours, first=False, last=False):
         w = _oihw_to_hwio(sd[f"{torch_name}.weight"])
         b = sd[f"{torch_name}.bias"]
         if first:
-            w = _fold_bgr_first(w)
+            w = _fold_bgr_first(w, block=unshuffle * unshuffle)
         if last:
             w, b = _fold_bgr_last(w, b, block=1)
         params[ours] = {"weight": w, "bias": b}

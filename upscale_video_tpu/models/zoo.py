@@ -246,6 +246,7 @@ def make_rrdb_graph(
     num_grow: int = 32,
     num_rrdb: int = 2,
     variant: str = "valar",
+    unshuffle: int = 1,
 ) -> NcnnGraph:
     """Build an RRDBNet-architecture graph programmatically.
 
@@ -266,6 +267,12 @@ def make_rrdb_graph(
     no 1x1 skip and no interior adds — the structure of the upstream
     RealESRGAN_x4plus-family torch checkpoints (models/torch_import.py
     maps ``body.{i}.rdb{j}.conv{k}`` onto ``r{i}d{j-1}_c{k}`` here).
+
+    ``unshuffle > 1`` prepends a Reorg (space-to-depth) of that stride —
+    basicsr's x2/x1 RRDBNet variants pixel-unshuffle the input before
+    ``conv_first`` so the trunk runs at reduced resolution; the model's
+    net scale is then ``scale / unshuffle`` (``scale`` here stays the
+    upsampler's 2x-Interp count as in the torch code).
     """
     if variant not in ("valar", "esrgan"):
         raise ValueError(f"unknown RRDB variant {variant!r}")
@@ -336,7 +343,13 @@ def make_rrdb_graph(
 
     rdb = rdb_valar if variant == "valar" else rdb_esrgan
 
-    fea = conv("conv_first", "input", 3, num_feat)
+    first_in = "input"
+    if unshuffle > 1:
+        layers.append(NcnnLayer(
+            "Reorg", "unshuffle", ["input"], ["unshuffled"], {0: unshuffle}
+        ))
+        first_in = "unshuffled"
+    fea = conv("conv_first", first_in, 3 * unshuffle * unshuffle, num_feat)
     x = fea
     for i in range(num_rrdb):
         rin = x
