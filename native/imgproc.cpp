@@ -97,16 +97,19 @@ void imgproc_ycbcr444_to_rgb(const uint8_t *y, const uint8_t *cb,
   });
 }
 
-// Shuffle-planar uint8 (H, W, 3*s*s) in (i, j, c) plane order ->
-// interleaved RGB24 (H*s, W*s, 3).  The TPU device program skips this
+// Shuffle-planar uint8 (H, W, C*s*s) in (i, j, c) plane order ->
+// interleaved (H*s, W*s, C).  The TPU device program skips this
 // pixel-shuffle interleave (it crosses tiled-layout boundaries at ~1% of
 // HBM bandwidth there — models/executor.py:_planar_tail_u8); on the host
 // it is pure strided memcpy: for output row (h, i), each input pixel
-// contributes s*3 contiguous bytes from plane offset i*s*3.
-void imgproc_planar_interleave(const uint8_t *p, uint8_t *out, int64_t h_lr,
-                               int64_t w_lr, int s, int threads) {
-  const int64_t in_px = 3LL * s * s;   // bytes per input pixel
-  const int64_t chunk = 3LL * s;       // bytes one input pixel puts in a row
+// contributes s*C contiguous bytes from plane offset i*s*C.  C=3 is the
+// RGB contract; C=1 assembles the Y/Cb/Cr planes of the packed 4:2:0
+// contract (ops/yuv.py).
+void imgproc_planar_interleave_c(const uint8_t *p, uint8_t *out, int64_t h_lr,
+                                 int64_t w_lr, int s, int channels,
+                                 int threads) {
+  const int64_t in_px = (int64_t)channels * s * s;  // bytes per input pixel
+  const int64_t chunk = (int64_t)channels * s;  // bytes per pixel per row
   const int64_t out_row = w_lr * chunk;
   const int64_t rows = h_lr * s;
   auto work = [&](int64_t rb, int64_t re) {
@@ -130,6 +133,12 @@ void imgproc_planar_interleave(const uint8_t *p, uint8_t *out, int64_t h_lr,
     pool.emplace_back([=] { work(b, e); });
   }
   for (auto &th : pool) th.join();
+}
+
+// back-compat entry point: the RGB (C=3) contract
+void imgproc_planar_interleave(const uint8_t *p, uint8_t *out, int64_t h_lr,
+                               int64_t w_lr, int s, int threads) {
+  imgproc_planar_interleave_c(p, out, h_lr, w_lr, s, 3, threads);
 }
 
 }  // extern "C"

@@ -92,12 +92,18 @@ if "concat" in args:
     sys.exit(0)
 
 if "-i" in args and args[args.index("-i") + 1] == "-":
-    # encoder: rawvideo stdin -> raw file (geometry from -s WxH)
+    # encoder: rawvideo stdin -> raw file (geometry from -s WxH; frame
+    # bytes from the INPUT -pix_fmt, the one before "-i -")
     size = args[args.index("-s") + 1]
     w, h = (int(v) for v in size.split("x"))
+    ipx = "rgb24"
+    for k in range(args.index("-i")):
+        if args[k] == "-pix_fmt":
+            ipx = args[k + 1]
+    bpf = w * h * 3 if ipx == "rgb24" else w * h * 3 // 2
     out_path = args[-1]
     data = sys.stdin.buffer.read()
-    assert len(data) % (w * h * 3) == 0, "partial frame on encoder stdin"
+    assert len(data) % bpf == 0, "partial frame on encoder stdin"
     with open(out_path, "wb") as f:
         f.write(data)
     sys.exit(0)

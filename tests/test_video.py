@@ -398,6 +398,7 @@ def test_pipe_sink_rejects_non_uint8(tmp_path):
 
     sink = FfmpegPipeSink.__new__(FfmpegPipeSink)  # no process needed:
     sink.width, sink.height = 4, 3                 # write() validates first
+    sink.input_pix_fmt = "rgb24"
     sink._native = None
     with pytest.raises(ValueError, match="uint8"):
         sink.write(np.zeros((3, 4, 3), np.float32))

@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
              "per-frame files (needed before test-images/fix-frames).",
     )
     p.add_argument(
+        "--pipe_pix", choices=["rgb24", "yuv420p"], default="rgb24",
+        help="Stream-plane output contract: rgb24 (default, the encoder "
+             "converts — byte-identical input to the reference's) or "
+             "yuv420p (the TPU emits 4:2:0 directly: half the "
+             "device->host bytes, no encoder-side swscale).",
+    )
+    p.add_argument(
         "--copy_audio", action="store_true",
         help="Mux the source's audio/subtitle streams into the output "
              "(the reference pipeline silently drops them). Needs -f.",
@@ -110,6 +117,7 @@ def _run(args) -> None:
         conv_impl=args.conv_impl,
         parallel_mode=args.parallel,
         copy_audio=args.copy_audio,
+        pipe_pix=args.pipe_pix,
     )
 
 

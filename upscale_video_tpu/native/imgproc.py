@@ -61,6 +61,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.imgproc_planar_interleave_c.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -113,32 +117,35 @@ def ycbcr444_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 
 
 def planar_interleave(p: np.ndarray, s: int, threads: int = 0,
-                      out: Optional[np.ndarray] = None) -> np.ndarray:
-    """Shuffle-planar uint8 (H, W, 3*s*s) in (i, j, c) plane order ->
-    interleaved (H*s, W*s, 3) RGB — the host half of the shuffle-planar
+                      out: Optional[np.ndarray] = None,
+                      channels: int = 3) -> np.ndarray:
+    """Shuffle-planar uint8 (H, W, C*s*s) in (i, j, c) plane order ->
+    interleaved (H*s, W*s, C) — the host half of the shuffle-planar
     output contract (ops/pixel.planar_to_frames routes here when the
     native library is available; pure byte moves, bit-exact by construction
-    and parity-tested against the numpy path)."""
+    and parity-tested against the numpy path).  C=3 is the RGB contract;
+    C=1 assembles the planes of the packed 4:2:0 contract (ops/yuv.py)."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native imgproc unavailable (no compiler)")
     p = np.ascontiguousarray(p, dtype=np.uint8)
     h, w, c = p.shape
-    if c != 3 * s * s:
+    if c != channels * s * s:
         # must survive `python -O`: a wrong shuffle factor would feed the C
         # loop a wrong in_px stride and read past the input buffer
         raise ValueError(
-            f"planar frame has {c} channels, expected 3*{s}*{s}={3 * s * s}"
+            f"planar frame has {c} channels, expected "
+            f"{channels}*{s}*{s}={channels * s * s}"
         )
     if out is None:
         # callers on a hot path pass a reused ``out`` — a fresh 25 MB
         # allocation per 4K frame costs more in page faults than the
         # interleave itself on small hosts (round-3 load test)
-        out = np.empty((h * s, w * s, 3), np.uint8)
-    elif (out.shape != (h * s, w * s, 3) or out.dtype != np.uint8
+        out = np.empty((h * s, w * s, channels), np.uint8)
+    elif (out.shape != (h * s, w * s, channels) or out.dtype != np.uint8
           or not out.flags.c_contiguous):
         raise ValueError(f"out buffer {out.shape}/{out.dtype} mismatch")
-    lib.imgproc_planar_interleave(
-        _u8p(p), _u8p(out), h, w, s, threads or _DEF_THREADS,
+    lib.imgproc_planar_interleave_c(
+        _u8p(p), _u8p(out), h, w, s, channels, threads or _DEF_THREADS,
     )
     return out

@@ -88,18 +88,19 @@ def planar_to_frames(p: np.ndarray, s: int,
         # interleave and corrupt or overrun the buffers)
         raise ValueError(f"{c} planes not divisible by s*s for s={s}")
     co = c // (s * s)
-    if co == 3 and p.dtype == np.uint8:
+    if p.dtype == np.uint8 and s > 1:
         # native path: threaded strided memcpy (~3x the numpy transpose,
         # keeps the sink thread ahead of multi-chip dp rates).  ``out``
         # lets hot-path callers (AsyncSink's transform) reuse one buffer —
         # a fresh 25 MB allocation per 4K frame costs more in page faults
         # than the interleave itself on small hosts (round-3 load test).
+        # co=3 is the RGB contract, co=1 the 4:2:0 plane assembly.
         from upscale_video_tpu.native.imgproc import (
             native_available, planar_interleave,
         )
 
         if native_available():
-            return planar_interleave(p, s, out=out)
+            return planar_interleave(p, s, out=out, channels=co)
     v = p.reshape(h, w, s, s, co).transpose(0, 2, 1, 3, 4)
     if out is not None:
         np.copyto(out.reshape(h, s, w, s, co), v)

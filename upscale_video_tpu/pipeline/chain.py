@@ -110,6 +110,7 @@ class ChainEngine:
     # ops with both XLA and Pallas backends beyond convs (denoise)
     _step: Callable = field(default=None, repr=False)
     _planar_step: Callable = field(default=None, repr=False)
+    _yuv_steps: dict = field(default=None, repr=False)
 
     @classmethod
     def build(
@@ -362,6 +363,45 @@ class ChainEngine:
 
         return _step
 
+    def yuv_step(self, full_range: bool, planar: bool) -> Callable:
+        """Jitted step emitting the packed 4:2:0 contract (ops/yuv.py):
+        uint8 (N,H,W,3) -> packed uint8 on the half-res output grid.
+
+        The conversion is epilogue math XLA fuses into the step for free;
+        D2H bytes halve versus the RGB contracts and the host/encoder
+        colour conversion disappears (--pipe_pix yuv420p).  ``planar``
+        selects the shuffle-planar body (planar_scale must be set); the
+        packed shuffle factor is then planar_scale, else 2.  Cached per
+        (full_range, planar); :meth:`use_chips` invalidates like the RGB
+        steps so mesh shardings apply."""
+        from upscale_video_tpu.ops.yuv import (
+            yuv420_from_frames, yuv420_from_planar,
+        )
+
+        if self._yuv_steps is None:
+            self._yuv_steps = {}
+        key = (full_range, planar)
+        if key not in self._yuv_steps:
+            if planar:
+                s = self.planar_scale
+                if not s or s % 2:
+                    raise ValueError(
+                        f"planar yuv contract unavailable (planar_scale="
+                        f"{s})"
+                    )
+                raw = self.raw_planar_step
+
+                def fn(frames_u8):  # noqa: E306
+                    return yuv420_from_planar(raw(frames_u8), s, full_range)
+            else:
+                raw = self.raw_step
+
+                def fn(frames_u8):  # noqa: E306
+                    return yuv420_from_frames(raw(frames_u8), full_range)
+
+            self._yuv_steps[key] = self._finalize(fn)
+        return self._yuv_steps[key]
+
     def _finalize(self, fn: Callable) -> Callable:
         """jit ``fn`` with whatever mesh :meth:`use_chips` selected: ``dp``
         shards the frame batch, ``sp`` shards each frame's H axis (the fused
@@ -448,6 +488,7 @@ class ChainEngine:
             self._mesh_mode = mode
             self._step = None  # rebuild with sharding
             self._planar_step = None
+            self._yuv_steps = None
             self._demote_kernels_for_mesh(len(devices))
         return multiplier
 

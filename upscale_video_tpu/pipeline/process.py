@@ -103,6 +103,7 @@ def process_file(
     conv_impl: str = "auto",
     parallel_mode: str = "dp",
     copy_audio: bool = False,
+    pipe_pix: str = "rgb24",
     engine: Optional[ChainEngine] = None,
 ) -> Optional[PipelineResult]:
     """Upscale a video file end to end.  Returns a PipelineResult, or None
@@ -111,7 +112,9 @@ def process_file(
     Beyond-reference flags: ``tile_size``/``halo`` (hardcoded 960/10 in the
     reference, upscale_processing.py:489/:409), ``global_quality``
     (hardcoded 20 at :634), ``precision`` (bf16 MXU fast path vs f32),
-    ``frames_per_step`` (on-chip batch), ``data_plane``.
+    ``frames_per_step`` (on-chip batch), ``data_plane``, ``pipe_pix``
+    (``yuv420p`` = the device emits 4:2:0 directly — half the
+    device->host bytes, no encoder-side swscale; ops/yuv.py).
     """
     if scale not in VALID_SCALES:
         raise ValueError(f"scale must be one of {VALID_SCALES}")
@@ -189,7 +192,7 @@ def process_file(
         else:
             processed = _run_stream_plane(
                 engine, backend, input_file, info, crop, workdir, batches,
-                frames_per_step,
+                frames_per_step, pipe_pix=pipe_pix,
             )
     elapsed = time.time() - t0
 
@@ -245,6 +248,7 @@ def _extract_all(backend, input_file, info, crop, workdir, ffmpeg) -> int:
 
 def _run_stream_plane(
     engine, backend, input_file, info, crop, workdir, batches, frames_per_step,
+    pipe_pix: str = "rgb24",
 ) -> int:
     """Streaming loop: sequential decode -> fused device program ->
     fragment encoders, with skip-if-exists resume per fragment."""
@@ -253,6 +257,13 @@ def _run_stream_plane(
 
     src_h, src_w = backend.source_geometry(info, crop)
     out_h, out_w = src_h * engine.scale, src_w * engine.scale
+    yuv420 = pipe_pix == "yuv420p"
+    if yuv420 and (out_h % 2 or out_w % 2):
+        log.warning(
+            "--pipe_pix yuv420p needs even output geometry, got %dx%d — "
+            "falling back to rgb24", out_w, out_h,
+        )
+        yuv420 = False
     processed = 0
     timer = StageTimer()
 
@@ -277,7 +288,29 @@ def _run_stream_plane(
     # interleave (hostile relayout, ~6.5 ms/frame at 4K); the sink thread
     # interleaves instead (overlapped with device compute)
     planar = engine.planar_scale
-    if planar:
+    if yuv420:
+        # 4:2:0 output contract: the step emits packed [Y|Cb|Cr] planes
+        # (ops/yuv.py) — half the D2H bytes, no encoder-side swscale; the
+        # sink thread assembles the contiguous I420 buffer
+        from upscale_video_tpu.ops.yuv import packed_to_i420
+
+        use_planar = bool(planar) and planar % 2 == 0
+        step_fn = engine.yuv_step(backend.yuv_full_range, planar=use_planar)
+        pack_s = planar if use_planar else 2
+        _ybuf = []
+        total = out_h * out_w * 3 // 2
+
+        def transform(p):  # noqa: E306
+            if not _ybuf:
+                _ybuf[:] = [np.empty((total,), np.uint8)]
+            return packed_to_i420(p, pack_s, out=_ybuf[0])
+
+        log.info(
+            "yuv420 output contract active (%s range%s)",
+            "full" if backend.yuv_full_range else "limited",
+            f", planar s={planar}" if use_planar else "",
+        )
+    elif planar:
         from upscale_video_tpu.ops.pixel import planar_to_frames
 
         step_fn = engine.planar_step
@@ -316,7 +349,8 @@ def _run_stream_plane(
                 log.info("batch %d exists, skipped", batch)
                 continue
             sink = AsyncSink(
-                backend.open_fragment_sink(batch, out_w, out_h, info, workdir),
+                backend.open_fragment_sink(batch, out_w, out_h, info, workdir,
+                                           yuv420=yuv420),
                 depth=2 * frames_per_step,
                 transform=transform,
             )

@@ -63,9 +63,17 @@ class VideoBackend(ABC):
 
     @abstractmethod
     def open_fragment_sink(
-        self, batch: int, width: int, height: int, info: Dict, workdir: str
+        self, batch: int, width: int, height: int, info: Dict, workdir: str,
+        yuv420: bool = False,
     ) -> FrameSink:
-        ...
+        """``yuv420=True`` opens the sink in the device-side 4:2:0 contract
+        (ops/yuv.py): write() then takes pre-assembled flat I420 bytes at
+        the backend's range (:attr:`yuv_full_range`)."""
+
+    #: the I420 level range this backend's 4:2:0 sink expects: the hermetic
+    #: y4m sink writes C420jpeg (full range), the ffmpeg rawvideo feed is
+    #: interpreted as studio/limited range by default
+    yuv_full_range = False
 
     @abstractmethod
     def fragment_name(self, batch: int) -> str:
@@ -111,13 +119,15 @@ class FfmpegBackend(VideoBackend):
     def fragment_name(self, batch):
         return f"{batch}.{self.output_format}"
 
-    def open_fragment_sink(self, batch, width, height, info, workdir):
+    def open_fragment_sink(self, batch, width, height, info, workdir,
+                           yuv420=False):
         return FfmpegPipeSink(
             self.ffmpeg, os.path.join(workdir, self.fragment_name(batch)),
             width=width, height=height,
             frame_rate=Fraction(info["frame_rate_fraction"]),
             encoder=self.encoder, pix_fmt=self.pix_fmt,
             global_quality=self.global_quality,
+            input_pix_fmt="yuv420p" if yuv420 else "rgb24",
         )
 
     def concat(self, num_batches, output_file, workdir):
@@ -203,14 +213,25 @@ class HermeticBackend(VideoBackend):
     def fragment_name(self, batch):
         return f"{batch}.{self.output_format}"
 
-    def open_fragment_sink(self, batch, width, height, info, workdir):
+    yuv_full_range = True  # C420jpeg
+
+    def open_fragment_sink(self, batch, width, height, info, workdir,
+                           yuv420=False):
         return Y4MSink(
             os.path.join(workdir, self.fragment_name(batch)),
             width, height, Fraction(info["frame_rate_fraction"]),
+            colorspace="C420jpeg" if yuv420 else "C444",
         )
 
     def concat(self, num_batches, output_file, workdir):
-        """Frame-accurate concat of y4m fragments into one stream."""
+        """Frame-accurate concat of y4m fragments into one stream.
+
+        Byte-level passthrough: fragment headers are identical by
+        construction (same geometry/rate/colorspace), so the output is
+        fragment 1 verbatim plus every later fragment minus its header
+        line — lossless for any colorspace and no per-frame colour math
+        (the previous decode->re-encode concat cost a full re-read of the
+        movie and would have double-converted C420 fragments)."""
         if num_batches == 1:
             # single fragment IS the output (saves a full re-read/re-write
             # of the movie; y4m headers are identical by construction)
@@ -218,18 +239,26 @@ class HermeticBackend(VideoBackend):
 
             shutil.move(os.path.join(workdir, self.fragment_name(1)), output_file)
             return
-        first = Y4MSource(os.path.join(workdir, self.fragment_name(1)))
-        sink = Y4MSink(output_file, first.width, first.height, first.frame_rate)
-        try:
-            for f in first:
-                sink.write(f)
-            first.close()
-            for b in range(2, num_batches + 1):
-                with Y4MSource(os.path.join(workdir, self.fragment_name(b))) as src:
-                    for f in src:
-                        sink.write(f)
-        finally:
-            sink.close()
+        first_header = None
+        with open(output_file, "wb") as out:
+            for b in range(1, num_batches + 1):
+                with open(os.path.join(workdir, self.fragment_name(b)), "rb") as f:
+                    header = f.readline()
+                    if not header.startswith(b"YUV4MPEG2"):
+                        raise ValueError(
+                            f"fragment {b} is not a y4m stream"
+                        )
+                    if first_header is None:
+                        first_header = header
+                        out.write(header)
+                    elif header != first_header:
+                        raise ValueError(
+                            f"fragment {b} header {header!r} != fragment 1 "
+                            f"{first_header!r} — cannot concat"
+                        )
+                    import shutil
+
+                    shutil.copyfileobj(f, out, 1 << 20)
         for b in range(1, num_batches + 1):
             os.remove(os.path.join(workdir, self.fragment_name(b)))
 

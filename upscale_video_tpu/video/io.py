@@ -226,24 +226,49 @@ class Y4MSource(FrameSource):
 
 
 class Y4MSink(FrameSink):
-    """Writes RGB frames as YUV4MPEG2 C444 (lossless geometry)."""
+    """Writes YUV4MPEG2.
 
-    def __init__(self, path_or_file, width: int, height: int, frame_rate: Fraction):
+    ``colorspace="C444"`` (default): :meth:`write` takes RGB frames and
+    converts (full-range BT.601, losslessly-sited chroma).
+    ``colorspace="C420jpeg"``: :meth:`write` takes pre-assembled full-range
+    I420 bytes ``(H*W*3//2,)`` — the device-side 4:2:0 output contract
+    (ops/yuv.py): half the bytes and zero host colour math."""
+
+    def __init__(self, path_or_file, width: int, height: int,
+                 frame_rate: Fraction, colorspace: str = "C444"):
+        if colorspace not in ("C444", "C420jpeg"):
+            raise ValueError(f"unsupported y4m colorspace {colorspace!r}")
+        if colorspace == "C420jpeg" and (width % 2 or height % 2):
+            raise ValueError(
+                f"4:2:0 needs even geometry, got {width}x{height}"
+            )
         self._own = isinstance(path_or_file, (str, os.PathLike))
         self._f: IO[bytes] = (
             open(path_or_file, "wb") if self._own else path_or_file
         )
         self.width, self.height = width, height
+        self.colorspace = colorspace
         fr = as_fraction(frame_rate)
         self._f.write(
             f"YUV4MPEG2 W{width} H{height} F{fr.numerator}:{fr.denominator} "
-            f"Ip A1:1 C444\n".encode()
+            f"Ip A1:1 {colorspace}\n".encode()
         )
         # reused conversion target + zero-copy write (tobytes() duplicated
         # every 4K frame's 24 MB on the hot path — round-3 load test)
-        self._ycc = np.empty((3, height, width), np.uint8)
+        self._ycc = (np.empty((3, height, width), np.uint8)
+                     if colorspace == "C444" else None)
+        self._i420_bytes = width * height * 3 // 2
 
     def write(self, frame: np.ndarray) -> None:
+        if self.colorspace == "C420jpeg":
+            if frame.dtype != np.uint8 or frame.shape != (self._i420_bytes,):
+                raise ValueError(
+                    f"C420 sink takes flat I420 uint8 ({self._i420_bytes},); "
+                    f"got {frame.shape}/{frame.dtype}"
+                )
+            self._f.write(b"FRAME\n")
+            self._f.write(memoryview(np.ascontiguousarray(frame)).cast("B"))
+            return
         if frame.shape != (self.height, self.width, 3):
             raise ValueError(f"frame shape {frame.shape} != sink geometry")
         self._f.write(b"FRAME\n")
@@ -460,11 +485,24 @@ class FfmpegPipeSink(FrameSink):
                  frame_rate: Fraction, encoder: str = "libx264",
                  pix_fmt: str = "yuv420p", global_quality: Optional[int] = 20,
                  extra_args: Optional[List[str]] = None, native: bool = True,
-                 flush_timeout_ms: Optional[int] = None):
+                 flush_timeout_ms: Optional[int] = None,
+                 input_pix_fmt: str = "rgb24"):
+        if input_pix_fmt not in ("rgb24", "yuv420p"):
+            raise ValueError(f"unsupported input pix fmt {input_pix_fmt!r}")
+        if input_pix_fmt == "yuv420p" and (width % 2 or height % 2):
+            raise ValueError(
+                f"4:2:0 needs even geometry, got {width}x{height}"
+            )
         self.width, self.height = width, height
+        self.input_pix_fmt = input_pix_fmt
+        # device-side 4:2:0 contract (ops/yuv.py): half the pipe bytes and
+        # no swscale conversion inside the encoder process
+        frame_bytes = (width * height * 3 if input_pix_fmt == "rgb24"
+                       else width * height * 3 // 2)
+        self._frame_bytes = frame_bytes
         fr = as_fraction(frame_rate)
         cmds = [ffmpeg, "-hide_banner", "-loglevel", "error", "-y",
-                "-f", "rawvideo", "-pix_fmt", "rgb24",
+                "-f", "rawvideo", "-pix_fmt", input_pix_fmt,
                 "-s", f"{width}x{height}",
                 "-r", f"{fr.numerator}/{fr.denominator}",
                 "-i", "-", "-vcodec", encoder, "-pix_fmt", pix_fmt]
@@ -486,7 +524,7 @@ class FfmpegPipeSink(FrameSink):
             if native_available():
                 try:
                     self._native = NativePipeWriter(
-                        self._proc.stdin.fileno(), width * height * 3,
+                        self._proc.stdin.fileno(), frame_bytes,
                         flush_timeout_ms=flush_timeout_ms,
                     )
                 except Exception:
@@ -495,11 +533,18 @@ class FfmpegPipeSink(FrameSink):
                     raise
 
     def write(self, frame: np.ndarray) -> None:
-        if frame.shape != (self.height, self.width, 3):
-            raise ValueError(f"frame shape {frame.shape} != sink geometry")
+        if self.input_pix_fmt == "yuv420p":
+            expect = (self._frame_bytes,)
+        else:
+            expect = (self.height, self.width, 3)
+        if frame.shape != expect:
+            raise ValueError(
+                f"frame shape {frame.shape} != sink geometry {expect} "
+                f"({self.input_pix_fmt})"
+            )
         if frame.dtype != np.uint8:
-            # the rawvideo pipe is rgb24: a float frame would emit 4x the
-            # bytes and silently desynchronize ffmpeg's framing
+            # the rawvideo pipe framing is byte-exact: a float frame would
+            # emit 4x the bytes and silently desynchronize ffmpeg
             raise ValueError(f"frame dtype {frame.dtype} != uint8")
         if self._native is not None:
             self._native.write(frame)
