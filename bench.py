@@ -78,6 +78,10 @@ def build_args():
                    help="pipeline mode: timed clip length")
     p.add_argument("--frames_per_step", type=int, default=4,
                    help="pipeline mode: device batch depth")
+    p.add_argument("--pipe_pix", choices=["rgb24", "yuv420p"],
+                   default="rgb24",
+                   help="pipeline mode: output contract (yuv420p = the "
+                        "device emits 4:2:0 — half the D2H bytes)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--models", default=None,
                    help="chain DSL for the step under test (e.g. 'n=3')")
@@ -209,6 +213,7 @@ def run_pipeline_mode(args) -> float:
             warm, output_file=os.path.join(tmp, "warm_out.y4m"),
             temp_dir=os.path.join(tmp, "tw"), engine=engine,
             frames_per_step=args.frames_per_step, scale=2,
+            pipe_pix=args.pipe_pix,
         )
         clip = os.path.join(tmp, "clip.y4m")
         _make_clip(clip, args.height, args.width, args.frames)
@@ -216,6 +221,7 @@ def run_pipeline_mode(args) -> float:
             clip, output_file=os.path.join(tmp, "out.y4m"),
             temp_dir=os.path.join(tmp, "tt"), engine=engine,
             frames_per_step=args.frames_per_step, scale=2,
+            pipe_pix=args.pipe_pix,
         )
         if args.verbose:
             print(
