@@ -105,10 +105,14 @@ void imgproc_ycbcr444_to_rgb(const uint8_t *y, const uint8_t *cb,
 // contributes s*C contiguous bytes from plane offset i*s*C.  C=3 is the
 // RGB contract; C=1 assembles the Y/Cb/Cr planes of the packed 4:2:0
 // contract (ops/yuv.py).
-void imgproc_planar_interleave_c(const uint8_t *p, uint8_t *out, int64_t h_lr,
+// in_stride = bytes between consecutive input pixels' plane blocks
+// (channels*s*s when the planes are densely packed; larger when reading a
+// channel-slice view of a wider packed buffer, e.g. the Y/Cb/Cr sections
+// of the 4:2:0 contract — zero-copy, no ascontiguousarray needed).
+void imgproc_planar_interleave_s(const uint8_t *p, uint8_t *out, int64_t h_lr,
                                  int64_t w_lr, int s, int channels,
-                                 int threads) {
-  const int64_t in_px = (int64_t)channels * s * s;  // bytes per input pixel
+                                 int64_t in_stride, int threads) {
+  const int64_t in_px = in_stride;
   const int64_t chunk = (int64_t)channels * s;  // bytes per pixel per row
   const int64_t out_row = w_lr * chunk;
   const int64_t rows = h_lr * s;
@@ -133,6 +137,13 @@ void imgproc_planar_interleave_c(const uint8_t *p, uint8_t *out, int64_t h_lr,
     pool.emplace_back([=] { work(b, e); });
   }
   for (auto &th : pool) th.join();
+}
+
+void imgproc_planar_interleave_c(const uint8_t *p, uint8_t *out, int64_t h_lr,
+                                 int64_t w_lr, int s, int channels,
+                                 int threads) {
+  imgproc_planar_interleave_s(p, out, h_lr, w_lr, s, channels,
+                              (int64_t)channels * s * s, threads);
 }
 
 // back-compat entry point: the RGB (C=3) contract

@@ -273,3 +273,23 @@ def test_sr_and_r_are_mutually_exclusive():
     spec = ChainSpec.parse("a,sr=x_foo")
     assert spec.sr_file == "x_foo" and spec.anime
     assert "sr(x_foo)" in spec.stage_names()
+
+
+def test_rrdb_unshuffle_odd_geometry_mod_pad():
+    """Arbitrary source geometry through an unshuffle import: the executor
+    mod-pads the input and crops the output (basicsr pre/post_process
+    semantics), instead of dying in a reshape inside jit."""
+    import jax.numpy as jnp
+
+    sd = make_rrdb_sd(num_rrdb=1, num_feat=8, num_grow=4, ups=2)
+    sd["conv_first.weight"] = _t(8, 12, 3, 3)
+    model = import_torch_checkpoint(sd, compute_dtype=jnp.float32)
+    x_rgb = RNG.uniform(0, 1, (1, 3, 7, 9)).astype(np.float32)  # odd H, W
+    with torch.no_grad():
+        xp = F.pad(torch.from_numpy(x_rgb), (0, 1, 0, 1), mode="replicate")
+        y = rrdb_forward(sd, xp).numpy()[:, :, :14, :18]
+    x_bgr = x_rgb[:, ::-1].transpose(0, 2, 3, 1)
+    ours = np.asarray(model.forward(model.params, jnp.asarray(x_bgr)))
+    assert ours.shape == (1, 14, 18, 3)
+    diff = np.abs(ours - y[:, ::-1].transpose(0, 2, 3, 1)).max()
+    assert diff < 1e-4, f"mod-pad mismatch: {diff}"

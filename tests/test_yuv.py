@@ -151,13 +151,16 @@ class TestPipelineYuv420:
     def test_yuv_multi_fragment_concat(self, tmp_path):
         from upscale_video_tpu.video.io import Y4MSource
 
-        _smooth_clip(str(tmp_path / "in.y4m"))
+        # negative -b carries the reference's +100 fudge
+        # (upscale_processing.py:860): 160 frames / -3 -> 153/batch ->
+        # TWO fragments, so the byte-level C420 concat really runs
+        _smooth_clip(str(tmp_path / "in.y4m"), n=160, h=8, w=12)
         out = self._run(tmp_path, "frag.y4m", pipe_pix="yuv420p",
-                        batch_size=-3)  # 3 fragments, byte-level concat
+                        batch_size=-3)
         with Y4MSource(out) as src:
             assert src.colorspace.startswith("C420")
             n = sum(1 for _ in src)
-        assert n == 6
+        assert n == 160
 
     def test_odd_geometry_falls_back_to_rgb(self, tmp_path, capsys):
         from upscale_video_tpu.video.io import Y4MSource
@@ -207,3 +210,87 @@ def test_concat_rejects_mismatched_fragment_headers(tmp_path):
             s.write(np.zeros((6, w, 3), np.uint8))
     with pytest.raises(ValueError, match="cannot concat"):
         b.concat(2, str(tmp_path / "out.y4m"), str(tmp_path))
+
+
+def test_planar_interleave_view_matches_copy_path():
+    """Zero-copy strided-view interleave (native) == the contiguous-copy
+    numpy path, for the exact slices packed_to_i420 takes."""
+    from upscale_video_tpu.native.imgproc import (
+        native_available, planar_interleave_view,
+    )
+
+    if not native_available():
+        pytest.skip("no compiler for the native library")
+    for s in (2, 4):
+        cs = s // 2
+        c = s * s + 2 * cs * cs
+        packed = RNG.integers(0, 256, (5, 7, c)).astype(np.uint8)
+        for off, k, f in ((0, s * s, s), (s * s, cs * cs, cs),
+                          (s * s + cs * cs, cs * cs, cs)):
+            if f == 1:
+                continue
+            view = packed[..., off:off + k]
+            out = np.empty((5 * f, 7 * f, 1), np.uint8)
+            planar_interleave_view(view, f, 1, out=out)
+            ref = np.ascontiguousarray(view).reshape(5, 7, f, f, 1)
+            ref = ref.transpose(0, 2, 1, 3, 4).reshape(5 * f, 7 * f, 1)
+            assert np.array_equal(out, ref), (s, off)
+
+
+class TestContractGuards:
+    def test_resume_adopts_existing_fragment_contract(self, tmp_path, capsys):
+        """Run 1 rgb24 crashes mid-movie; run 2 with --pipe_pix yuv420p
+        must adopt the existing C444 contract instead of failing at the
+        final concat."""
+        import os as _os
+
+        from upscale_video_tpu.pipeline.process import process_file
+        from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+        # 160 frames / -3 -> 153/batch (the reference's +100 fudge) ->
+        # two fragments
+        _smooth_clip(str(tmp_path / "in.y4m"), n=160, h=8, w=12)
+        tdir = str(tmp_path / "t")
+        out = str(tmp_path / "out.y4m")
+        # handcraft the mid-run state: fragment 1 (frames 1..153) already
+        # encoded under the rgb24 contract (C444) by the crashed run
+        work = _os.path.join(tdir, "upscale_video")
+        _os.makedirs(work)
+        with Y4MSink(_os.path.join(work, "1.y4m"), 24, 16, "24/1") as s:
+            for _ in range(153):
+                s.write(np.zeros((16, 24, 3), np.uint8))
+        # resume with the CONFLICTING contract request
+        process_file(str(tmp_path / "in.y4m"), out, temp_dir=tdir, scale=2,
+                     synthetic_models=True, precision="f32", batch_size=-3,
+                     resume_processing=True, pipe_pix="yuv420p")
+        assert "existing fragments use the rgb24 contract" in \
+            capsys.readouterr().out
+        with Y4MSource(out) as src:
+            assert src.colorspace.startswith("C444")
+            assert sum(1 for _ in src) == 160
+
+    def test_sp_mesh_frames_contract_falls_back(self, tmp_path, capsys):
+        """--parallel sp + yuv420p without the planar contract (scale-1
+        chain) must warn and ship rgb24 instead of dying in the sp pad."""
+        from upscale_video_tpu.pipeline.process import process_file
+        from upscale_video_tpu.video.io import Y4MSource
+
+        _smooth_clip(str(tmp_path / "in.y4m"), h=20, w=28)
+        out = str(tmp_path / "out.y4m")
+        process_file(str(tmp_path / "in.y4m"), out,
+                     temp_dir=str(tmp_path / "t"), scale=1, models="n=2",
+                     synthetic_models=True, precision="f32",
+                     chips="0,1,2", parallel_mode="sp", pipe_pix="yuv420p")
+        assert "needs the planar contract" in capsys.readouterr().out
+        with Y4MSource(out) as src:
+            assert src.colorspace.startswith("C444")
+
+    def test_png_plane_warns_pipe_pix_ignored(self, tmp_path, capsys):
+        from upscale_video_tpu.pipeline.process import process_file
+
+        _smooth_clip(str(tmp_path / "in.y4m"))
+        process_file(str(tmp_path / "in.y4m"), str(tmp_path / "o.y4m"),
+                     temp_dir=str(tmp_path / "t"), scale=2,
+                     synthetic_models=True, precision="f32",
+                     data_plane="png", pipe_pix="yuv420p")
+        assert "stream plane only" in capsys.readouterr().out

@@ -1195,10 +1195,26 @@ def build_forward(
         else jax.lax.Precision.DEFAULT
     )
 
+    # graphs with a Reorg (pixel-unshuffle) need H/W divisible by the
+    # stride; basicsr's reference forward mod-pads the input and crops the
+    # output (Real-ESRGAN pre_process/post_process) — reproduce that at
+    # the frames level so arbitrary source geometry (e.g. an 853-row crop)
+    # works instead of dying in a reshape inside jit
+    reorg_mod = 1
+    for _l in graph.layers:
+        if _l.type == "Reorg":
+            reorg_mod = max(reorg_mod, _l.attr_i(0, 1))
+
     def forward(params: Dict[str, Dict[str, jnp.ndarray]], x: jnp.ndarray) -> jnp.ndarray:
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
+        mod_h = (-x.shape[1]) % reorg_mod
+        mod_w = (-x.shape[2]) % reorg_mod
+        in_h, in_w = x.shape[1], x.shape[2]
+        if mod_h or mod_w:
+            x = jnp.pad(x, ((0, 0), (0, mod_h), (0, mod_w), (0, 0)),
+                        mode="edge")
         blobs: Dict[str, jnp.ndarray] = {input_blobs[0]: x.astype(compute_dtype)}
         # dense-scatter state: per-target lists of partial contributions
         piece_bufs: Dict[str, List[jnp.ndarray]] = {}
@@ -1359,6 +1375,12 @@ def build_forward(
                 if last_use.get(b) == i and b in blobs:
                     del blobs[b]
         y = blobs[output_blobs[0]]
+        if mod_h or mod_w:
+            # crop the mod-pad back out at the program's own scale ratio
+            # (the planar contract never coexists with Reorg: _match_
+            # srvgg_tail only fires on SRVGG graphs)
+            r = y.shape[1] // (in_h + mod_h)
+            y = y[:, : in_h * r, : in_w * r]
         if emit_frames:
             if y.dtype != jnp.uint8:  # no fused tail: XLA epilogue
                 from upscale_video_tpu.ops.pixel import model_to_frames

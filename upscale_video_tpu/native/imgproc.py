@@ -65,6 +65,10 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.imgproc_planar_interleave_s.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -147,5 +151,32 @@ def planar_interleave(p: np.ndarray, s: int, threads: int = 0,
         raise ValueError(f"out buffer {out.shape}/{out.dtype} mismatch")
     lib.imgproc_planar_interleave_c(
         _u8p(p), _u8p(out), h, w, s, channels, threads or _DEF_THREADS,
+    )
+    return out
+
+
+def planar_interleave_view(p: np.ndarray, s: int, channels: int,
+                           out: np.ndarray, threads: int = 0) -> np.ndarray:
+    """Zero-copy variant of :func:`planar_interleave` for a channel-slice
+    VIEW of a wider packed buffer (e.g. the Y section ``packed[..., :s*s]``
+    of the 4:2:0 contract, ops/yuv.py) — the view's pixel stride is passed
+    through instead of forcing an ascontiguousarray copy of the plane."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native imgproc unavailable (no compiler)")
+    h, w, c = p.shape
+    if p.dtype != np.uint8 or c != channels * s * s:
+        raise ValueError(
+            f"view has {c}/{p.dtype} channels, expected uint8 "
+            f"{channels}*{s}*{s}"
+        )
+    sh, sw, sc = p.strides
+    if sc != 1 or sw < c or sh != w * sw:
+        raise ValueError(f"unsupported view strides {p.strides}")
+    if (out.shape != (h * s, w * s, channels) or out.dtype != np.uint8
+            or not out.flags.c_contiguous):
+        raise ValueError(f"out buffer {out.shape}/{out.dtype} mismatch")
+    lib.imgproc_planar_interleave_s(
+        _u8p(p), _u8p(out), h, w, s, channels, sw, threads or _DEF_THREADS,
     )
     return out

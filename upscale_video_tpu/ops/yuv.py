@@ -118,6 +118,9 @@ def packed_to_i420(packed: np.ndarray, s: int,
 
     Runs on the sink thread (AsyncSink transform), like the RGB planar
     interleave; ``out`` reuses a caller buffer on the hot path."""
+    from upscale_video_tpu.native.imgproc import (
+        native_available, planar_interleave_view,
+    )
     from upscale_video_tpu.ops.pixel import planar_to_frames
 
     h, w, c = packed.shape
@@ -131,16 +134,33 @@ def packed_to_i420(packed: np.ndarray, s: int,
     elif out.shape != (total,) or out.dtype != np.uint8:
         raise ValueError(f"out buffer {out.shape}/{out.dtype} mismatch")
     y = out[: oh * ow].reshape(oh, ow, 1)
-    planar_to_frames(packed[..., : s * s], s, out=y)
     chw, cww = oh // 2, ow // 2
     cb = out[oh * ow: oh * ow + chw * cww].reshape(chw, cww, 1)
     cr = out[oh * ow + chw * cww:].reshape(chw, cww, 1)
+    # the channel sections are strided VIEWS of the packed buffer: the
+    # native stride-aware interleave reads them in place — forcing each
+    # plane contiguous first would copy ~oh*ow bytes per 4K frame on the
+    # sink hot path, giving back part of the contract's savings
+    native = (native_available()
+              if packed.dtype == np.uint8 and packed.flags.c_contiguous
+              else False)
+    if native:
+        planar_interleave_view(packed[..., : s * s], s, 1, out=y)
+    else:
+        planar_to_frames(np.ascontiguousarray(packed[..., : s * s]), s, out=y)
     if cs == 1:
         np.copyto(cb, packed[..., s * s: s * s + 1])
         np.copyto(cr, packed[..., s * s + 1:])
+    elif native:
+        planar_interleave_view(
+            packed[..., s * s: s * s + cs * cs], cs, 1, out=cb)
+        planar_interleave_view(packed[..., s * s + cs * cs:], cs, 1, out=cr)
     else:
-        planar_to_frames(packed[..., s * s: s * s + cs * cs], cs, out=cb)
-        planar_to_frames(packed[..., s * s + cs * cs:], cs, out=cr)
+        planar_to_frames(
+            np.ascontiguousarray(packed[..., s * s: s * s + cs * cs]),
+            cs, out=cb)
+        planar_to_frames(
+            np.ascontiguousarray(packed[..., s * s + cs * cs:]), cs, out=cr)
     return out
 
 

@@ -185,6 +185,11 @@ def process_file(
     t0 = time.time()
     with keep_awake():  # reference holds wakepy for the whole job (:847)
         if data_plane == "png":
+            if pipe_pix != "rgb24":
+                log.warning(
+                    "--pipe_pix %s applies to the stream plane only — the "
+                    "png plane encodes from RGB files; ignoring", pipe_pix,
+                )
             processed = _run_png_plane(
                 engine, backend, input_file, info, crop, workdir, batches,
                 frames_per_step, ffmpeg,
@@ -288,6 +293,28 @@ def _run_stream_plane(
     # interleave (hostile relayout, ~6.5 ms/frame at 4K); the sink thread
     # interleaves instead (overlapped with device compute)
     planar = engine.planar_scale
+    # resume: fragments already on disk fix the contract — a mismatch
+    # would only surface at the final concat, after all the compute
+    existing = backend.fragment_yuv420(workdir, 1)
+    if existing is not None and existing != yuv420:
+        log.warning(
+            "resume: existing fragments use the %s contract — continuing "
+            "with that instead of the requested --pipe_pix",
+            "yuv420" if existing else "rgb24",
+        )
+        yuv420 = existing
+    if yuv420 and getattr(engine, "_mesh_mode", "dp") == "sp" and not (
+        planar and planar % 2 == 0
+    ):
+        # sp row-sharding pads H to the chip count with no evenness
+        # guarantee, and the packed half-res grid breaks its crop ratio
+        # for the full-frame contract — only the planar packed grid (LR
+        # rows, one packed row per input row) composes with sp
+        log.warning(
+            "--pipe_pix yuv420p under --parallel sp needs the planar "
+            "contract (unavailable here) — falling back to rgb24",
+        )
+        yuv420 = False
     if yuv420:
         # 4:2:0 output contract: the step emits packed [Y|Cb|Cr] planes
         # (ops/yuv.py) — half the D2H bytes, no encoder-side swscale; the

@@ -75,6 +75,14 @@ class VideoBackend(ABC):
     #: interpreted as studio/limited range by default
     yuv_full_range = False
 
+    def fragment_yuv420(self, workdir: str, batch: int) -> Optional[bool]:
+        """Whether an EXISTING fragment was written under the 4:2:0
+        contract, or None when unknowable/irrelevant (ffmpeg fragments are
+        encoder output either way, so concat doesn't care).  Lets a resume
+        adopt the contract the completed fragments already use instead of
+        failing at concat hours later."""
+        return None
+
     @abstractmethod
     def fragment_name(self, batch: int) -> str:
         ...
@@ -214,6 +222,14 @@ class HermeticBackend(VideoBackend):
         return f"{batch}.{self.output_format}"
 
     yuv_full_range = True  # C420jpeg
+
+    def fragment_yuv420(self, workdir, batch):
+        path = os.path.join(workdir, self.fragment_name(batch))
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            header = f.readline()
+        return b" C420" in header
 
     def open_fragment_sink(self, batch, width, height, info, workdir,
                            yuv420=False):
