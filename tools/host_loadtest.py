@@ -73,6 +73,7 @@ class NullSink(FrameSink):
 def run(args, sink_kind):
     h, w, s = args.height, args.width, args.scale
     n = args.frames
+    yuv = getattr(args, "pipe_pix", "rgb24") == "yuv420p"
     src = PrefetchSource(SyntheticSource(n, h, w), depth=2 * args.batch)
 
     if sink_kind == "null":
@@ -84,15 +85,30 @@ def run(args, sink_kind):
 
         path = ("/dev/shm/loadtest.y4m" if sink_kind == "shm"
                 else "/dev/null")
-        inner = Y4MSink(path, w * s, h * s, Fraction(24, 1))
-    ibuf = np.empty((h * s, w * s, 3), np.uint8)
-    sink = AsyncSink(inner, depth=2 * args.batch,
-                     transform=lambda p: planar_to_frames(p, s, out=ibuf))
+        inner = Y4MSink(path, w * s, h * s, Fraction(24, 1),
+                        colorspace="C420jpeg" if yuv else "C444")
+    if yuv:
+        # 4:2:0 contract (ops/yuv.py): the device hands over packed
+        # [Y|Cb|Cr] on the LR grid; the host assembles flat I420 — HALF
+        # the transform bytes of the RGB interleave, and the y4m sink
+        # skips its RGB->YCbCr conversion entirely
+        from upscale_video_tpu.ops.yuv import packed_to_i420
 
-    # stub device: instant planar output of the right geometry
-    out = np.random.default_rng(1).integers(
-        0, 256, (args.batch, h, w, 3 * s * s), dtype=np.uint8
-    )
+        ybuf = np.empty((h * s * w * s * 3 // 2,), np.uint8)
+        transform = lambda p: packed_to_i420(p, s, out=ybuf)  # noqa: E731
+        cs = s // 2
+        out = np.random.default_rng(1).integers(
+            0, 256, (args.batch, h, w, s * s + 2 * cs * cs), dtype=np.uint8
+        )
+    else:
+        ibuf = np.empty((h * s, w * s, 3), np.uint8)
+        transform = lambda p: planar_to_frames(p, s, out=ibuf)  # noqa: E731
+        out = np.random.default_rng(1).integers(
+            0, 256, (args.batch, h, w, 3 * s * s), dtype=np.uint8
+        )
+    sink = AsyncSink(inner, depth=2 * args.batch, transform=transform)
+
+    # stub device: instant output of the right geometry
     stub = lambda chunk: out  # noqa: E731
 
     stepper = BatchedStepper(stub, args.batch)
@@ -112,14 +128,23 @@ def run(args, sink_kind):
     src.close()
     dt = time.perf_counter() - t0
     print(
-        f"[{sink_kind}] {wrote} frames in {dt:.2f}s = {wrote/dt:.1f} fps "
-        f"host-plane ({h}x{w} -> {h*s}x{w*s})",
+        f"[{sink_kind}/{'yuv420p' if yuv else 'rgb24'}] "
+        f"{wrote} frames in {dt:.2f}s = "
+        f"{wrote/dt:.1f} fps host-plane ({h}x{w} -> {h*s}x{w*s})",
         flush=True,
     )
     return wrote / dt
 
 
 def main():
+    # the device is a STUB here — this tool measures the host plane only
+    # and must never touch the real backend (BatchedStepper's dispatch
+    # device_puts the input batch, which would initialize the tunneled TPU
+    # and hang ~20 min during an outage; one-TPU-process rule otherwise).
+    # The env var is ignored by this image's plugin; the config API wins.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
@@ -127,6 +152,8 @@ def main():
     p.add_argument("--frames", type=int, default=96)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--sinks", default="null,y4m,shm")
+    p.add_argument("--pipe_pix", choices=["rgb24", "yuv420p"],
+                   default="rgb24")
     args = p.parse_args()
     for kind in args.sinks.split(","):
         run(args, kind)
