@@ -294,3 +294,22 @@ class TestContractGuards:
                      synthetic_models=True, precision="f32",
                      data_plane="png", pipe_pix="yuv420p")
         assert "stream plane only" in capsys.readouterr().out
+
+
+def test_sp_mesh_planar_yuv_contract(tmp_path):
+    """The ALLOWED sp+yuv combination: planar packed grid over a 4-chip
+    sp mesh (virtual CPU devices) — output C420 and frame-complete, with
+    an H that needs the sp pad (20 rows over 4 chips divides; use 18/3
+    chips for a pad)."""
+    from upscale_video_tpu.pipeline.process import process_file
+    from upscale_video_tpu.video.io import Y4MSource
+
+    _smooth_clip(str(tmp_path / "in.y4m"), n=4, h=18, w=28)  # 18 % 4 != 0
+    out = str(tmp_path / "out.y4m")
+    process_file(str(tmp_path / "in.y4m"), out, temp_dir=str(tmp_path / "t"),
+                 scale=2, synthetic_models=True, precision="f32",
+                 chips="0,1,2,3", parallel_mode="sp", pipe_pix="yuv420p")
+    with Y4MSource(out) as src:
+        assert src.colorspace.startswith("C420")
+        assert (src.height, src.width) == (36, 56)
+        assert sum(1 for _ in src) == 4
