@@ -230,6 +230,25 @@ class TestFfmpegBackendPipeline:
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3  # upscaled rawvideo
 
+    def test_process_file_stream_plane_yuv420(self, fake_ffmpeg, tmp_path):
+        """Same orchestration under --pipe_pix yuv420p: the encoder
+        receives exactly N half-size I420 frames (the fake validates
+        framing from the INPUT -pix_fmt) and the fragments concat."""
+        from upscale_video_tpu.pipeline.process import process_file
+
+        src = tmp_path / "movie.raw"
+        src.write_bytes(b"container-bytes")
+        out = str(tmp_path / "movie.2x.raw")
+        res = process_file(
+            str(src), output_file=out, ffmpeg=fake_ffmpeg,
+            scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+            synthetic_models=True, precision="f32", frames_per_step=4,
+            pipe_pix="yuv420p", engine=_small_engine(),
+        )
+        assert res.frames_processed == N
+        data = open(out, "rb").read()
+        assert len(data) == N * (2 * W) * (2 * H) * 3 // 2  # I420 rawvideo
+
 
     def test_resume_seeks_past_completed_prefix(self, fake_ffmpeg, tmp_path,
                                                 monkeypatch):
