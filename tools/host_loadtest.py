@@ -112,6 +112,10 @@ def run(args, sink_kind):
     stub = lambda chunk: out  # noqa: E731
 
     stepper = BatchedStepper(stub, args.batch)
+    # untimed warmup: fault in the transform buffers + thread spin-up (the
+    # first config otherwise absorbs it and reads ~3x low)
+    for o in (list(stepper.feed(src.read())) or []) + list(stepper.flush()):
+        sink.write(o)
     t0 = time.perf_counter()
     wrote = 0
     while True:
