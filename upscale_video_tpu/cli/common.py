@@ -61,6 +61,12 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
              "collectives — only wins on channel-heavy models like Valar).",
     )
     p.add_argument(
+        "--tta", action="store_true",
+        help="x8 self-ensemble: average the SR stage over the 8 dihedral "
+             "transforms of each frame (quality knob, ~8x the SR compute; "
+             "beyond the reference and its upstream runner).",
+    )
+    p.add_argument(
         "--conv_impl", choices=["auto", "xla", "pallas", "rdb"], default="auto",
         help="Convolution backend. auto (default) = XLA conv fusions for "
              "the Compact family + the fused residual-dense-block kernel "

@@ -48,6 +48,7 @@ def main(argv=None) -> int:
         frames_per_step=args.frames_per_step,
         synthetic_models=args.synthetic_models,
         conv_impl=args.conv_impl,
+        tta=args.tta,
         parallel_mode=args.parallel,
     )
     return 0

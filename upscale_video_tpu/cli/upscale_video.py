@@ -115,6 +115,7 @@ def _run(args) -> None:
         data_plane=args.data_plane,
         synthetic_models=args.synthetic_models,
         conv_impl=args.conv_impl,
+        tta=args.tta,
         parallel_mode=args.parallel,
         copy_audio=args.copy_audio,
         pipe_pix=args.pipe_pix,

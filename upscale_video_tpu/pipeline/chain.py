@@ -105,6 +105,7 @@ class ChainEngine:
     anime_model: Optional[Model] = None
     tile: int = 0  # 0 = whole-frame
     halo: int = 16
+    tta: bool = False  # x8 dihedral self-ensemble on the SR stage (ops/tta)
     channel_order: str = "bgr"
     kernel_impl: str = "auto"  # the build()-time conv_impl knob, kept for
     # ops with both XLA and Pallas backends beyond convs (denoise)
@@ -123,6 +124,7 @@ class ChainEngine:
         halo: int = 16,
         synthetic: bool = False,
         conv_impl: str = "auto",
+        tta: bool = False,
     ) -> "ChainEngine":
         """Load the models the chain needs (reference selection logic at
         upscale_processing.py:888-920).  ``synthetic=True`` builds
@@ -194,7 +196,7 @@ class ChainEngine:
             sr_model.rdb_kernel = rdb_kernel
         return cls(
             spec=spec, scale=scale, sr_model=sr_model, anime_model=anime_model,
-            tile=tile, halo=halo, kernel_impl=conv_impl,
+            tile=tile, halo=halo, tta=tta, kernel_impl=conv_impl,
         )
 
     def _denoise(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -231,16 +233,6 @@ class ChainEngine:
             x = self._denoise(x)
         if self.anime_model is not None:
             x = self.anime_model.forward(self.anime_model.params, x)
-        return x
-
-    def _model_stack(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Float model-domain chain: denoise -> anime -> SR (batched NHWC)."""
-        x = self._prelude(x)
-        if self.sr_model is not None:
-            if self.tile:
-                x = self._tiled_sr(x)
-            else:
-                x = self.sr_model.forward(self.sr_model.params, x)
         return x
 
     def _tiled_sr(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -303,14 +295,25 @@ class ChainEngine:
         def _step(frames_u8):
             x = self._prelude(frames_to_model(frames_u8, order))
             if self.sr_model is not None:
-                if self.tile:
-                    return model_to_frames(self._tiled_sr(x), order)
-                return self.sr_model.frames_forward(order)(
-                    self.sr_model.params, x
-                )
+                return self._sr_frames(x, order)
             return model_to_frames(x, order)
 
         return _step
+
+    def _sr_frames(self, x: jnp.ndarray, order: str) -> jnp.ndarray:
+        """The SR stage emitting uint8 frames, honoring tile/tta — the one
+        place the SR-apply policy lives (raw_step + the PNG plane's sr
+        stage_fn share it)."""
+        if self.tta:
+            from upscale_video_tpu.ops.tta import tta_apply
+
+            apply = (self._tiled_sr if self.tile
+                     else lambda v: self.sr_model.forward(
+                         self.sr_model.params, v))
+            return model_to_frames(tta_apply(apply, x), order)
+        if self.tile:
+            return model_to_frames(self._tiled_sr(x), order)
+        return self.sr_model.frames_forward(order)(self.sr_model.params, x)
 
     @property
     def planar_scale(self) -> Optional[int]:
@@ -324,8 +327,8 @@ class ChainEngine:
         overlaps device compute.  None = use :attr:`step` (ordinary
         full-frame contract: tiled path, Valar's Interp tail, scale-1,
         or the Pallas kernel path, which fuses its own tail)."""
-        if self.sr_model is None or self.tile:
-            return None
+        if self.sr_model is None or self.tile or self.tta:
+            return None  # tta: eight transformed passes, no single tail
         if getattr(self.sr_model, "pallas_conv", False):
             return None  # the Pallas path fuses its own tail kernel
         from upscale_video_tpu.models.executor import probe_srvgg_tail
@@ -583,13 +586,10 @@ class ChainEngine:
         elif stage == "sr":
             if self.sr_model is None:
                 raise ValueError("chain has no SR stage (scale 1)")
-            model, tile = self.sr_model, self.tile
 
             def _fn(frames_u8):
                 x = frames_to_model(frames_u8, order)
-                if tile:
-                    return model_to_frames(self._tiled_sr(x), order)
-                return model.frames_forward(order)(model.params, x)
+                return self._sr_frames(x, order)
 
         else:
             raise ValueError(f"unknown stage {stage!r}")

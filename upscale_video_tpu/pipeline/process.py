@@ -104,6 +104,7 @@ def process_file(
     parallel_mode: str = "dp",
     copy_audio: bool = False,
     pipe_pix: str = "rgb24",
+    tta: bool = False,
     engine: Optional[ChainEngine] = None,
 ) -> Optional[PipelineResult]:
     """Upscale a video file end to end.  Returns a PipelineResult, or None
@@ -175,7 +176,7 @@ def process_file(
         engine = ChainEngine.build(
             spec, scale, model_path=model_path, compute_dtype=compute_dtype,
             tile=tile_size, halo=halo, synthetic=synthetic_models,
-            conv_impl=conv_impl,
+            conv_impl=conv_impl, tta=tta,
         )  # callers may pass a pre-built engine to reuse compiled programs
     frames_per_step = engine.configure_chips(chips, frames_per_step, parallel_mode)
     log.info("model chain: %s", engine.describe())

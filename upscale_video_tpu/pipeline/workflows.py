@@ -57,11 +57,12 @@ log = logging.getLogger(__name__)
 
 
 def _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                  synthetic, conv_impl="auto"):
+                  synthetic, conv_impl="auto", tta=False):
     dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
     return ChainEngine.build(
         spec, scale, model_path=model_path, compute_dtype=dtype,
         tile=tile_size, halo=halo, synthetic=synthetic, conv_impl=conv_impl,
+        tta=tta,
     )
 
 
@@ -84,6 +85,7 @@ def upscale_only(
     frames_per_step: int = 4,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
+    tta: bool = False,
     parallel_mode: str = "dp",
 ) -> Optional[int]:
     """Split-machine stage 1: upscale + zip, no video encode."""
@@ -125,7 +127,7 @@ def upscale_only(
         return None
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                           synthetic_models, conv_impl)
+                           synthetic_models, conv_impl, tta=tta)
     frames_per_step = engine.configure_chips(chips, frames_per_step,
                                              parallel_mode)
     log.info("model chain: %s", engine.describe())
@@ -284,6 +286,7 @@ def fix_frames(
     frames_per_step: int = 4,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
+    tta: bool = False,
     parallel_mode: str = "dp",
 ) -> List[int]:
     """Repair listed frames: re-extract missing intermediates, re-run the
@@ -336,7 +339,7 @@ def fix_frames(
                     os.remove(p)
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                           synthetic_models, conv_impl)
+                           synthetic_models, conv_impl, tta=tta)
     frames_per_step = engine.configure_chips(chips, frames_per_step,
                                              parallel_mode)
 
@@ -402,6 +405,7 @@ def process_image(
     frames_per_step: int = 4,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
+    tta: bool = False,
     parallel_mode: str = "dp",
 ) -> List[str]:
     """Sampling tool: run a candidate chain on selected extracted frames,
@@ -430,7 +434,7 @@ def process_image(
         )
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
-                           synthetic_models, conv_impl)
+                           synthetic_models, conv_impl, tta=tta)
     frames_per_step = engine.configure_chips(chips, frames_per_step,
                                              parallel_mode)
     in_tag = stages.run_chain_stages(engine, output_dir, frames, frames_per_step,
