@@ -102,3 +102,18 @@ def test_tta_stage_fn_matches_step(tmp_path):
     a = np.asarray(eng.step(jnp.asarray(frames)))
     b = np.asarray(eng.stage_fn("sr")(jnp.asarray(frames)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_tta_composes_with_sp_mesh():
+    """Rotations transpose the sharded H axis mid-program; GSPMD must
+    still compile/execute the ensemble over an sp mesh."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+    eng = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True,
+                            compute_dtype=jnp.float32, tta=True)
+    eng.configure_chips("0,1,2,3", 4, "sp")
+    x = RNG.integers(0, 256, (2, 12, 16, 3)).astype(np.uint8)
+    y = np.asarray(eng.step(jnp.asarray(x)))
+    assert y.shape == (2, 24, 32, 3) and y.dtype == np.uint8
