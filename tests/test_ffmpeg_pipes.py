@@ -65,10 +65,14 @@ if "rawvideo" in args and args[-1] == "-":
     count = N - start
     if "-frames:v" in args:
         count = min(count, int(args[args.index("-frames:v") + 1]))
+    i420 = "yuv420p" in args  # decoder output pix fmt (4:2:0 input mode)
     out = sys.stdout.buffer
     for i, f in enumerate(frames()):
         if start <= i < start + count:
-            out.write(f)
+            if i420:  # deterministic I420-sized payload (framing test)
+                out.write(bytes([i * 7 % 256]) * (W * H * 3 // 2))
+            else:
+                out.write(f)
     out.flush()
     sys.exit(0)
 
@@ -249,6 +253,26 @@ class TestFfmpegBackendPipeline:
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3 // 2  # I420 rawvideo
 
+    def test_yuv420_uses_i420_decode_pipe(self, fake_ffmpeg, tmp_path):
+        """Under --pipe_pix yuv420p the DECODE pipe also switches to
+        yuv420p rawvideo (half the input bytes, no decoder swscale): the
+        fake emits I420-sized frames and the run completes with correct
+        output framing."""
+        from upscale_video_tpu.pipeline.process import process_file
+
+        src = tmp_path / "movie.raw"
+        src.write_bytes(b"container-bytes")
+        out = str(tmp_path / "movie.2x.raw")
+        res = process_file(
+            str(src), output_file=out, ffmpeg=fake_ffmpeg,
+            scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+            synthetic_models=True, precision="f32", frames_per_step=4,
+            pipe_pix="yuv420p", engine=_small_engine(),
+        )
+        assert res.frames_processed == N
+        data = open(out, "rb").read()
+        assert len(data) == N * (2 * W) * (2 * H) * 3 // 2
+
 
     def test_resume_seeks_past_completed_prefix(self, fake_ffmpeg, tmp_path,
                                                 monkeypatch):
@@ -287,9 +311,9 @@ class TestFfmpegBackendPipeline:
         starts = []
         orig = vb.FfmpegBackend.open_source
 
-        def spy(self, input_file, info, crop, start_frame=1):
+        def spy(self, input_file, info, crop, start_frame=1, **kw):
             starts.append(start_frame)
-            return orig(self, input_file, info, crop, start_frame)
+            return orig(self, input_file, info, crop, start_frame, **kw)
 
         monkeypatch.setattr(vb.FfmpegBackend, "open_source", spy)
         res = process_file(str(src), **kw)

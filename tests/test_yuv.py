@@ -313,3 +313,63 @@ def test_sp_mesh_planar_yuv_contract(tmp_path):
         assert src.colorspace.startswith("C420")
         assert (src.height, src.width) == (36, 56)
         assert sum(1 for _ in src) == 4
+
+
+def test_i420_to_model_matches_host_reader():
+    """Device-side I420 input conversion == the hermetic Y4MSource host
+    read path (nearest chroma + full-range BT.601), within the double-
+    rounding the host path adds."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.ops.yuv import i420_to_model
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+    import io as _io
+
+    h, w = 6, 8
+    frames = RNG.integers(0, 256, (2, h, w, 3)).astype(np.uint8)
+    packed = np.asarray(yuv420_from_frames(jnp.asarray(frames), True))
+    buf = _io.BytesIO()
+    sink = Y4MSink(buf, w, h, "24/1", colorspace="C420jpeg")
+    for i in range(2):
+        sink.write(packed_to_i420(packed[i], 2))
+    sink.close()
+
+    buf.seek(0)
+    host = Y4MSource(buf)
+    host_frames = [host.read() for _ in range(2)]
+    buf.seek(0)
+    raw = Y4MSource(buf, raw_i420=True)
+    assert raw.i420_full_range
+    flats = np.stack([raw.read() for _ in range(2)])
+    dev = np.asarray(i420_to_model(jnp.asarray(flats), h, w,
+                                   full_range=True, channel_order="rgb"))
+    host_f = np.stack(host_frames).astype(np.float32) / 255.0
+    assert np.abs(dev - host_f).max() <= 1.5 / 255.0
+
+
+def test_pipeline_i420_input_contract(tmp_path, capsys):
+    """A C420 y4m source under --pipe_pix yuv420p engages the raw input
+    contract end to end (flat I420 to the device, no host conversion
+    either way) and matches the RGB-input run within rounding."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.pipeline.process import process_file
+    from upscale_video_tpu.ops.yuv import packed_to_i420 as p2i
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+    frames = _smooth_clip(str(tmp_path / "unused.y4m"))
+    packed = np.asarray(yuv420_from_frames(jnp.asarray(frames), True))
+    with Y4MSink(str(tmp_path / "in420.y4m"), 28, 20, "24/1",
+                 colorspace="C420jpeg") as s:
+        for i in range(len(frames)):
+            s.write(p2i(packed[i], 2))
+
+    out = str(tmp_path / "out.y4m")
+    process_file(str(tmp_path / "in420.y4m"), out,
+                 temp_dir=str(tmp_path / "t1"), scale=2,
+                 synthetic_models=True, precision="f32",
+                 pipe_pix="yuv420p")
+    assert "i420 input" in capsys.readouterr().out
+    with Y4MSource(out) as src:
+        assert src.colorspace.startswith("C420")
+        assert sum(1 for _ in src) == 6

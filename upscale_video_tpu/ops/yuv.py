@@ -168,3 +168,38 @@ def i420_frame_bytes(width: int, height: int) -> int:
     if width % 2 or height % 2:
         raise ValueError(f"I420 needs even geometry, got {width}x{height}")
     return width * height * 3 // 2
+
+
+def i420_to_model(flat: jnp.ndarray, h: int, w: int,
+                  full_range: bool = False,
+                  channel_order: str = "bgr") -> jnp.ndarray:
+    """Device-side 4:2:0 INPUT contract: flat I420 uint8 ``(N, h*w*3//2)``
+    (exactly the decoder's native buffer — no host colour work at all) ->
+    float32 model-domain frames ``(N, h, w, 3)`` in [0, 1].
+
+    Slicing the flat buffer into planes is free on device (contiguous
+    reshapes), the 2x chroma upsample is a nearest ``repeat`` (cheap VPU
+    work, fusable — NOT a pixel-shuffle-class relayout), and the BT.601
+    inverse + /255 + BGR flip fuse into the first conv's input processing
+    like frames_to_model's epilogue does.  Nearest chroma siting matches
+    the hermetic Y4M reader; one fewer uint8 rounding than decoding to
+    RGB first."""
+    n = flat.shape[0]
+    hw = h * w
+    y = flat[:, :hw].reshape(n, h, w).astype(jnp.float32)
+    cb = flat[:, hw:hw + hw // 4].reshape(n, h // 2, w // 2)
+    cr = flat[:, hw + hw // 4:].reshape(n, h // 2, w // 2)
+    up = lambda u: jnp.repeat(  # noqa: E731
+        jnp.repeat(u.astype(jnp.float32), 2, axis=1), 2, axis=2)
+    cb = up(cb) - 128.0
+    cr = up(cr) - 128.0
+    if not full_range:
+        y = (y - _Y_OFF) / _Y_SCALE
+        cb = cb / _C_SCALE
+        cr = cr / _C_SCALE
+    r = y + cr / _CR_K
+    b = y + cb / _CB_K
+    g = (y - _KR * r - _KB * b) / _KG
+    chans = (b, g, r) if channel_order == "bgr" else (r, g, b)
+    rgb = jnp.stack(chans, axis=-1)
+    return jnp.clip(rgb / 255.0, 0.0, 1.0)

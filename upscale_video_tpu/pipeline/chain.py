@@ -366,43 +366,58 @@ class ChainEngine:
 
         return _step
 
-    def yuv_step(self, full_range: bool, planar: bool) -> Callable:
+    def yuv_step(self, full_range: bool, planar: bool,
+                 i420_in: Optional[Tuple[int, int, bool]] = None) -> Callable:
         """Jitted step emitting the packed 4:2:0 contract (ops/yuv.py):
-        uint8 (N,H,W,3) -> packed uint8 on the half-res output grid.
+        uint8 RGB frames (N,H,W,3) — or, with ``i420_in=(src_h, src_w,
+        in_full_range)``, the decoder's native flat I420 buffer
+        (N, h*w*3//2) — to packed uint8 on the half-res output grid.
 
-        The conversion is epilogue math XLA fuses into the step for free;
-        D2H bytes halve versus the RGB contracts and the host/encoder
-        colour conversion disappears (--pipe_pix yuv420p).  ``planar``
-        selects the shuffle-planar body (planar_scale must be set); the
-        packed shuffle factor is then planar_scale, else 2.  Cached per
-        (full_range, planar); :meth:`use_chips` invalidates like the RGB
-        steps so mesh shardings apply."""
+        Both conversions are prologue/epilogue math XLA fuses into the
+        step for free; host<->device bytes halve in each converted
+        direction and the host/encoder/decoder colour conversion
+        disappears (--pipe_pix yuv420p).  ``planar`` selects the
+        shuffle-planar body (planar_scale must be set); the packed shuffle
+        factor is then planar_scale, else 2.  Cached per (full_range,
+        planar, i420_in); :meth:`use_chips` invalidates like the RGB steps
+        so mesh shardings apply."""
         from upscale_video_tpu.ops.yuv import (
-            yuv420_from_frames, yuv420_from_planar,
+            i420_to_model, yuv420_from_frames, yuv420_from_planar,
         )
 
         if self._yuv_steps is None:
             self._yuv_steps = {}
-        key = (full_range, planar)
-        if key not in self._yuv_steps:
+        key = (full_range, planar, i420_in)
+        if key in self._yuv_steps:
+            return self._yuv_steps[key]
+        order = self.channel_order
+        if planar:
+            s = self.planar_scale
+            if not s or s % 2:
+                raise ValueError(
+                    f"planar yuv contract unavailable (planar_scale={s})"
+                )
+
+        def to_model(x):
+            if i420_in is None:
+                return frames_to_model(x, order)
+            src_h, src_w, in_full = i420_in
+            return i420_to_model(x, src_h, src_w, in_full, order)
+
+        def fn(x):
+            m = self._prelude(to_model(x))
             if planar:
-                s = self.planar_scale
-                if not s or s % 2:
-                    raise ValueError(
-                        f"planar yuv contract unavailable (planar_scale="
-                        f"{s})"
-                    )
-                raw = self.raw_planar_step
-
-                def fn(frames_u8):  # noqa: E306
-                    return yuv420_from_planar(raw(frames_u8), s, full_range)
+                p = self.sr_model.frames_forward(order, planar=True)(
+                    self.sr_model.params, m
+                )
+                return yuv420_from_planar(p, s, full_range)
+            if self.sr_model is not None:
+                frames = self._sr_frames(m, order)
             else:
-                raw = self.raw_step
+                frames = model_to_frames(m, order)
+            return yuv420_from_frames(frames, full_range)
 
-                def fn(frames_u8):  # noqa: E306
-                    return yuv420_from_frames(raw(frames_u8), full_range)
-
-            self._yuv_steps[key] = self._finalize(fn)
+        self._yuv_steps[key] = self._finalize(fn)
         return self._yuv_steps[key]
 
     def _finalize(self, fn: Callable) -> Callable:

@@ -316,6 +316,17 @@ def _run_stream_plane(
             "contract (unavailable here) — falling back to rgb24",
         )
         yuv420 = False
+    # the decode source opens before the step is built: under the 4:2:0
+    # contract the INPUT side converts on device too when the stream
+    # supports it (flat I420 straight from the decoder — half the H2D
+    # bytes, zero host/decoder colour work; ops/yuv.i420_to_model)
+    inner_src = backend.open_source(
+        input_file, info, crop, start_frame=start_frame,
+        raw_i420=yuv420 and src_h % 2 == 0 and src_w % 2 == 0,
+    )
+    i420_in = ((src_h, src_w, inner_src.i420_full_range)
+               if getattr(inner_src, "raw_i420", False) else None)
+
     if yuv420:
         # 4:2:0 output contract: the step emits packed [Y|Cb|Cr] planes
         # (ops/yuv.py) — half the D2H bytes, no encoder-side swscale; the
@@ -323,7 +334,8 @@ def _run_stream_plane(
         from upscale_video_tpu.ops.yuv import packed_to_i420
 
         use_planar = bool(planar) and planar % 2 == 0
-        step_fn = engine.yuv_step(backend.yuv_full_range, planar=use_planar)
+        step_fn = engine.yuv_step(backend.yuv_full_range, planar=use_planar,
+                                  i420_in=i420_in)
         pack_s = planar if use_planar else 2
         _ybuf = []
         total = out_h * out_w * 3 // 2
@@ -334,9 +346,10 @@ def _run_stream_plane(
             return packed_to_i420(p, pack_s, out=_ybuf[0])
 
         log.info(
-            "yuv420 output contract active (%s range%s)",
+            "yuv420 output contract active (%s range%s%s)",
             "full" if backend.yuv_full_range else "limited",
             f", planar s={planar}" if use_planar else "",
+            ", i420 input" if i420_in else "",
         )
     elif planar:
         from upscale_video_tpu.ops.pixel import planar_to_frames
@@ -360,10 +373,7 @@ def _run_stream_plane(
         step_fn = engine.step
         transform = None
 
-    source = PrefetchSource(
-        backend.open_source(input_file, info, crop, start_frame=start_frame),
-        depth=2 * frames_per_step,
-    )
+    source = PrefetchSource(inner_src, depth=2 * frames_per_step)
     try:
         for batch, (start, end) in batches.items():
             if batch < first_todo:

@@ -55,11 +55,18 @@ class VideoBackend(ABC):
     @abstractmethod
     def open_source(
         self, input_file: str, info: Dict, crop: str, start_frame: int = 1,
+        raw_i420: bool = False,
     ) -> FrameSource:
         """Sequential source over the video (after cropping), beginning at
         1-indexed ``start_frame`` — cheaply (time-based seek / file skip),
         so resume cost is independent of the completed-prefix length
-        (reference skip-if-exists resume, upscale_processing.py:923-926)."""
+        (reference skip-if-exists resume, upscale_processing.py:923-926).
+
+        ``raw_i420=True`` REQUESTS the 4:2:0 input contract: when the
+        underlying stream supports it, read() returns flat I420 buffers
+        and the source carries ``raw_i420=True`` + ``i420_full_range``
+        (the caller must check — unsupported streams fall back to RGB
+        frames silently)."""
 
     @abstractmethod
     def open_fragment_sink(
@@ -115,13 +122,16 @@ class FfmpegBackend(VideoBackend):
     def crop_detect(self, input_file, duration, workdir):
         return ff.get_crop_detect(self.ffmpeg, input_file, duration, cache_dir=workdir)
 
-    def open_source(self, input_file, info, crop, start_frame=1):
+    def open_source(self, input_file, info, crop, start_frame=1,
+                    raw_i420=False):
         h, w = self.source_geometry(info, crop)
         remaining = info["number_of_frames"] - (start_frame - 1)
         return FfmpegPipeSource(
             self.ffmpeg, input_file, width=w, height=h,
             frame_rate=Fraction(info["frame_rate_fraction"]),
             crop_filter=crop, num_frames=remaining, start_frame=start_frame,
+            output_pix_fmt=("yuv420p" if raw_i420 and not (h % 2 or w % 2)
+                            else "rgb24"),
         )
 
     def fragment_name(self, batch):
@@ -207,13 +217,16 @@ class HermeticBackend(VideoBackend):
     def crop_detect(self, input_file, duration, workdir):
         return ""  # no detector without ffmpeg; geometry passes through
 
-    def open_source(self, input_file, info, crop, start_frame=1):
+    def open_source(self, input_file, info, crop, start_frame=1,
+                    raw_i420=False):
         if os.path.isdir(input_file):
             return PngDirSource(
                 input_file, tag="", start=start_frame,
                 frame_rate=Fraction(info["frame_rate_fraction"]),
             )
         src = Y4MSource(input_file)
+        if raw_i420 and src.colorspace.startswith("C420"):
+            src.raw_i420 = True  # C420-class stream: serve flat I420
         if start_frame > 1:
             src.skip(start_frame - 1)  # file seeks, no decode
         return src

@@ -129,9 +129,15 @@ def _ycbcr_to_rgb_full(ycc: np.ndarray) -> np.ndarray:
 
 
 class Y4MSource(FrameSource):
-    """Reads YUV4MPEG2 (C444 or C420/C420jpeg/C420mpeg2) as RGB frames."""
+    """Reads YUV4MPEG2 (C444 or C420/C420jpeg/C420mpeg2) as RGB frames.
 
-    def __init__(self, path_or_file):
+    ``raw_i420=True`` (C420-class streams only): :meth:`read` returns the
+    frame's flat I420 bytes ``(H*W*3//2,)`` untouched — the 4:2:0 INPUT
+    contract (ops/yuv.i420_to_model converts on device), skipping the host
+    chroma upsample + YCbCr->RGB entirely.  :attr:`i420_full_range` tells
+    the device conversion which levels the stream uses (C420jpeg = full)."""
+
+    def __init__(self, path_or_file, raw_i420: bool = False):
         self._own = isinstance(path_or_file, (str, os.PathLike))
         self._f: IO[bytes] = (
             open(path_or_file, "rb") if self._own else path_or_file
@@ -162,6 +168,12 @@ class Y4MSource(FrameSource):
             ]
         else:
             raise NotImplementedError(f"y4m colorspace {self.colorspace}")
+        self.raw_i420 = raw_i420
+        self.i420_full_range = self.colorspace == "C420jpeg"
+        if raw_i420 and not self.colorspace.startswith("C420"):
+            raise ValueError(
+                f"raw_i420 needs a C420-class stream, got {self.colorspace}"
+            )
 
     def _readline(self) -> bytes:
         out = bytearray()
@@ -205,6 +217,12 @@ class Y4MSource(FrameSource):
             return None
         if not marker.startswith(b"FRAME"):
             raise ValueError(f"bad frame marker {marker!r}")
+        if self.raw_i420:
+            total = sum(h * w for h, w in self._planes)
+            buf = self._f.read(total)
+            if len(buf) != total:
+                raise ValueError("truncated y4m frame")
+            return np.frombuffer(buf, np.uint8)
         planes = []
         for h, w in self._planes:
             buf = self._f.read(h * w)
@@ -389,8 +407,21 @@ class FfmpegPipeSource(FrameSource):
                  frame_rate: Fraction, crop_filter: str = "",
                  num_frames: Optional[int] = None, start_frame: int = 1,
                  seek_mode: str = "ss",
-                 extra_args: Optional[List[str]] = None, native: bool = True):
+                 extra_args: Optional[List[str]] = None, native: bool = True,
+                 output_pix_fmt: str = "rgb24"):
+        if output_pix_fmt not in ("rgb24", "yuv420p"):
+            raise ValueError(f"unsupported output pix fmt {output_pix_fmt!r}")
+        if output_pix_fmt == "yuv420p" and (width % 2 or height % 2):
+            raise ValueError(
+                f"4:2:0 needs even geometry, got {width}x{height}"
+            )
         self.width, self.height = width, height
+        self.output_pix_fmt = output_pix_fmt
+        # 4:2:0 input contract (ops/yuv.i420_to_model): half the pipe
+        # bytes and no swscale->rgb24 conversion inside the decoder;
+        # read() then returns the flat I420 buffer
+        self.raw_i420 = output_pix_fmt == "yuv420p"
+        self.i420_full_range = False  # rawvideo yuv420p = studio levels
         self.frame_rate = as_fraction(frame_rate)
         self.num_frames = num_frames
         cmds = [ffmpeg, "-hide_banner", "-loglevel", "error",
@@ -416,13 +447,14 @@ class FfmpegPipeSource(FrameSource):
         if num_frames is not None:
             cmds += ["-frames:v", str(num_frames)]
         cmds += extra_args or []
-        cmds += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-"]
+        cmds += ["-f", "rawvideo", "-pix_fmt", output_pix_fmt, "-"]
         self.args = cmds
         self._proc = subprocess.Popen(
             cmds, stdout=subprocess.PIPE, stderr=subprocess.PIPE
         )
         self._stderr = _StderrDrain(self._proc.stderr)
-        self._frame_bytes = width * height * 3
+        self._frame_bytes = (width * height * 3 if output_pix_fmt == "rgb24"
+                             else width * height * 3 // 2)
         self._native = None
         if native:
             # C++ double-buffered ring keeps the decode pipe saturated while
@@ -452,6 +484,8 @@ class FfmpegPipeSource(FrameSource):
                 ) from e
             if flat is None:
                 return None
+            if self.output_pix_fmt == "yuv420p":
+                return flat  # flat I420: the device converts
             return flat.reshape(self.height, self.width, 3)
         buf = self._proc.stdout.read(self._frame_bytes)
         if not buf:
@@ -461,7 +495,10 @@ class FfmpegPipeSource(FrameSource):
                 "truncated rawvideo frame from ffmpeg: "
                 + self._stderr.tail()[-500:]
             )
-        return np.frombuffer(buf, np.uint8).reshape(self.height, self.width, 3)
+        flat = np.frombuffer(buf, np.uint8)
+        if self.output_pix_fmt == "yuv420p":
+            return flat
+        return flat.reshape(self.height, self.width, 3)
 
     def close(self) -> None:
         if self._native is not None:
