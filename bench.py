@@ -182,7 +182,8 @@ def run_device_mode(args) -> float:
     return 1.0 / per_frame, extras
 
 
-def _make_clip(path: str, height: int, width: int, n_frames: int) -> None:
+def _make_clip(path: str, height: int, width: int, n_frames: int,
+               c420: bool = False) -> None:
     import numpy as np
     from fractions import Fraction
 
@@ -190,6 +191,21 @@ def _make_clip(path: str, height: int, width: int, n_frames: int) -> None:
 
     rng = np.random.default_rng(7)
     base = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    if c420:
+        # a C420 source engages the symmetric 4:2:0 INPUT contract
+        # (flat I420 straight to the device; ops/yuv.i420_to_model)
+        import jax.numpy as jnp
+
+        from upscale_video_tpu.ops.yuv import packed_to_i420, yuv420_from_frames
+
+        with Y4MSink(path, width, height, Fraction(24, 1),
+                     colorspace="C420jpeg") as sink:
+            for i in range(n_frames):
+                f = np.roll(base, 7 * i, axis=1)
+                packed = np.asarray(
+                    yuv420_from_frames(jnp.asarray(f[None]), True))[0]
+                sink.write(packed_to_i420(packed, 2))
+        return
     with Y4MSink(path, width, height, Fraction(24, 1)) as sink:
         for i in range(n_frames):
             sink.write(np.roll(base, 7 * i, axis=1))
@@ -208,7 +224,9 @@ def run_pipeline_mode(args) -> float:
         # warm clip: same geometry + batch so the timed run reuses the
         # compiled program and has absorbed the first-transfer stall
         warm = os.path.join(tmp, "warm.y4m")
-        _make_clip(warm, args.height, args.width, 2 * args.frames_per_step)
+        c420 = args.pipe_pix == "yuv420p"
+        _make_clip(warm, args.height, args.width, 2 * args.frames_per_step,
+                   c420=c420)
         process_file(
             warm, output_file=os.path.join(tmp, "warm_out.y4m"),
             temp_dir=os.path.join(tmp, "tw"), engine=engine,
@@ -216,7 +234,7 @@ def run_pipeline_mode(args) -> float:
             pipe_pix=args.pipe_pix,
         )
         clip = os.path.join(tmp, "clip.y4m")
-        _make_clip(clip, args.height, args.width, args.frames)
+        _make_clip(clip, args.height, args.width, args.frames, c420=c420)
         res = process_file(
             clip, output_file=os.path.join(tmp, "out.y4m"),
             temp_dir=os.path.join(tmp, "tt"), engine=engine,
