@@ -373,3 +373,56 @@ def test_pipeline_i420_input_contract(tmp_path, capsys):
     with Y4MSource(out) as src:
         assert src.colorspace.startswith("C420")
         assert sum(1 for _ in src) == 6
+
+
+def test_sp_mesh_keeps_rgb_input_with_c420_source(tmp_path):
+    """sp shards the input's H axis — a flat I420 buffer has no row axis,
+    so under sp the pipeline keeps RGB input even for a C420 source (and
+    still ships the planar yuv OUTPUT contract)."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.pipeline.process import process_file
+    from upscale_video_tpu.ops.yuv import packed_to_i420 as p2i
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+    frames = _smooth_clip(str(tmp_path / "unused.y4m"), n=4, h=20, w=28)
+    packed = np.asarray(yuv420_from_frames(jnp.asarray(frames[:4]), True))
+    with Y4MSink(str(tmp_path / "in420.y4m"), 28, 20, "24/1",
+                 colorspace="C420jpeg") as s:
+        for i in range(4):
+            s.write(p2i(packed[i], 2))
+    out = str(tmp_path / "out.y4m")
+    process_file(str(tmp_path / "in420.y4m"), out,
+                 temp_dir=str(tmp_path / "t"), scale=2,
+                 synthetic_models=True, precision="f32",
+                 chips="0,1,2,3", parallel_mode="sp", pipe_pix="yuv420p")
+    with Y4MSource(out) as src:
+        assert src.colorspace.startswith("C420")
+        assert sum(1 for _ in src) == 4
+
+
+def test_dp_mesh_i420_input(tmp_path, capsys):
+    """dp shards the batch dim — rank-agnostic, so the flat I420 input
+    contract rides the mesh."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.pipeline.process import process_file
+    from upscale_video_tpu.ops.yuv import packed_to_i420 as p2i
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+    frames = _smooth_clip(str(tmp_path / "unused.y4m"), n=4, h=20, w=28)
+    packed = np.asarray(yuv420_from_frames(jnp.asarray(frames[:4]), True))
+    with Y4MSink(str(tmp_path / "in420.y4m"), 28, 20, "24/1",
+                 colorspace="C420jpeg") as s:
+        for i in range(4):
+            s.write(p2i(packed[i], 2))
+    out = str(tmp_path / "out.y4m")
+    process_file(str(tmp_path / "in420.y4m"), out,
+                 temp_dir=str(tmp_path / "t"), scale=2,
+                 synthetic_models=True, precision="f32",
+                 chips="0,1", parallel_mode="dp", pipe_pix="yuv420p",
+                 frames_per_step=2)
+    assert "i420 input" in capsys.readouterr().out
+    with Y4MSource(out) as src:
+        assert src.colorspace.startswith("C420")
+        assert sum(1 for _ in src) == 4

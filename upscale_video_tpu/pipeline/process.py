@@ -322,7 +322,10 @@ def _run_stream_plane(
     # bytes, zero host/decoder colour work; ops/yuv.i420_to_model)
     inner_src = backend.open_source(
         input_file, info, crop, start_frame=start_frame,
-        raw_i420=yuv420 and src_h % 2 == 0 and src_w % 2 == 0,
+        # sp shards the input's H axis (rank-4 GSPMD spec) — a flat I420
+        # buffer has no row axis to shard, so sp keeps RGB input
+        raw_i420=(yuv420 and src_h % 2 == 0 and src_w % 2 == 0
+                  and getattr(engine, "_mesh_mode", "dp") != "sp"),
     )
     i420_in = ((src_h, src_w, inner_src.i420_full_range)
                if getattr(inner_src, "raw_i420", False) else None)
