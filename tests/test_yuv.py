@@ -426,3 +426,46 @@ def test_dp_mesh_i420_input(tmp_path, capsys):
     with Y4MSource(out) as src:
         assert src.colorspace.startswith("C420")
         assert sum(1 for _ in src) == 4
+
+
+def test_y4m_limited_range_c420_read():
+    """Bare C420/C420mpeg2 streams carry studio levels (what ffmpeg
+    writes): the host reader must expand them — and agree with the
+    device-side i420_to_model at limited range."""
+    import io as _io
+
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.ops.yuv import i420_to_model
+    from upscale_video_tpu.video.io import Y4MSource
+
+    h, w = 4, 6
+    rng = np.random.default_rng(5)
+    # studio-level planes: Y 16..235, C 16..240
+    y = rng.integers(16, 236, (h, w), dtype=np.uint8)
+    cb = rng.integers(16, 241, (h // 2, w // 2), dtype=np.uint8)
+    cr = rng.integers(16, 241, (h // 2, w // 2), dtype=np.uint8)
+    buf = _io.BytesIO()
+    buf.write(f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C420mpeg2\n".encode())
+    buf.write(b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes())
+    buf.seek(0)
+    src = Y4MSource(buf)
+    assert not src.i420_full_range
+    host = src.read().astype(np.float32) / 255.0
+
+    flat = np.concatenate([y.ravel(), cb.ravel(), cr.ravel()])[None]
+    dev = np.asarray(i420_to_model(jnp.asarray(flat), h, w,
+                                   full_range=False, channel_order="rgb"))[0]
+    # host path: expand-to-u8 (one extra rounding) + convert-round;
+    # device path: float all the way — within 2 LSB
+    assert np.abs(host - dev).max() <= 2.5 / 255.0
+
+    # a mid-grey studio frame must decode to mid-grey, not washed out
+    buf2 = _io.BytesIO()
+    buf2.write(f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C420\n".encode())
+    grey_y = np.full((h, w), 126, np.uint8)       # (235-16)/2+16
+    grey_c = np.full((h // 2, w // 2), 128, np.uint8)
+    buf2.write(b"FRAME\n" + grey_y.tobytes() + grey_c.tobytes() * 2)
+    buf2.seek(0)
+    g = Y4MSource(buf2).read()
+    assert abs(int(g[0, 0, 0]) - 128) <= 1  # expanded, not 126-ish dim

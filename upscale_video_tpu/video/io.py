@@ -233,6 +233,19 @@ class Y4MSource(FrameSource):
         if u.shape != y.shape:  # upsample 420 chroma
             u = np.repeat(np.repeat(u, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
             v = np.repeat(np.repeat(v, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+        if self.colorspace.startswith("C420") and not self.i420_full_range:
+            # bare C420/C420mpeg2 carry studio levels (what ffmpeg writes);
+            # expand to full range before the full-range converter — the
+            # previous full-range-everywhere read washed foreign files out.
+            # (Our own sinks only ever write C420jpeg/C444, both full.)
+            def expand(p, off, scale):
+                f = (p.astype(np.float32) - off) * scale + (0 if off == 16
+                                                            else 128)
+                return np.clip(np.round(f), 0, 255).astype(np.uint8)
+
+            y = expand(y, 16, 255.0 / 219.0)
+            u = expand(u, 128, 255.0 / 224.0)
+            v = expand(v, 128, 255.0 / 224.0)
         native = _imgproc()
         if native:
             return native.ycbcr444_to_rgb(y, u, v)
