@@ -58,10 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--pipe_pix", choices=["rgb24", "yuv420p"], default="rgb24",
-        help="Stream-plane output contract: rgb24 (default, the encoder "
+        help="Stream-plane device contract: rgb24 (default, the encoder "
              "converts — byte-identical input to the reference's) or "
-             "yuv420p (the TPU emits 4:2:0 directly: half the "
-             "device->host bytes, no encoder-side swscale).",
+             "yuv420p (4:2:0 in AND out on the TPU: transport halves both "
+             "ways, no host/decoder/encoder colour conversion; assumes "
+             "studio-range video when decoding via ffmpeg — keep rgb24 "
+             "for full-range/jpeg-range sources).",
     )
     p.add_argument(
         "--copy_audio", action="store_true",
