@@ -193,18 +193,20 @@ def _make_clip(path: str, height: int, width: int, n_frames: int,
     base = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
     if c420:
         # a C420 source engages the symmetric 4:2:0 INPUT contract
-        # (flat I420 straight to the device; ops/yuv.i420_to_model)
+        # (flat I420 straight to the device; ops/yuv.i420_to_model).
+        # ONE batched device call + ONE fetch: per-frame dispatches would
+        # each risk this tunnel's 100-550s D2H stalls (CLAUDE.md)
         import jax.numpy as jnp
 
         from upscale_video_tpu.ops.yuv import packed_to_i420, yuv420_from_frames
 
+        frames = np.stack([np.roll(base, 7 * i, axis=1)
+                           for i in range(n_frames)])
+        packed = np.asarray(yuv420_from_frames(jnp.asarray(frames), True))
         with Y4MSink(path, width, height, Fraction(24, 1),
                      colorspace="C420jpeg") as sink:
             for i in range(n_frames):
-                f = np.roll(base, 7 * i, axis=1)
-                packed = np.asarray(
-                    yuv420_from_frames(jnp.asarray(f[None]), True))[0]
-                sink.write(packed_to_i420(packed, 2))
+                sink.write(packed_to_i420(packed[i], 2))
         return
     with Y4MSink(path, width, height, Fraction(24, 1)) as sink:
         for i in range(n_frames):

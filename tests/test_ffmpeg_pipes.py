@@ -45,7 +45,7 @@ args = sys.argv[1:]
 
 if os.path.basename(sys.argv[0]).startswith("ffprobe"):
     info = {
-        "streams": [{"width": W, "height": H,
+        "streams": [{"width": W, "height": H, "pix_fmt": "yuv420p",
                      "r_frame_rate": "24/1", "nb_read_packets": str(N)}],
         "format": {"duration": str(N / 24.0), "filename": args[-1]},
     }
@@ -253,13 +253,23 @@ class TestFfmpegBackendPipeline:
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3 // 2  # I420 rawvideo
 
-    def test_yuv420_uses_i420_decode_pipe(self, fake_ffmpeg, tmp_path):
-        """Under --pipe_pix yuv420p the DECODE pipe also switches to
-        yuv420p rawvideo (half the input bytes, no decoder swscale): the
-        fake emits I420-sized frames and the run completes with correct
-        output framing."""
+    def test_yuv420_uses_i420_decode_pipe(self, fake_ffmpeg, tmp_path,
+                                          monkeypatch):
+        """Under --pipe_pix yuv420p (and a probed 4:2:0 source) the DECODE
+        pipe switches to yuv420p rawvideo — asserted on the decoder argv,
+        not just output framing."""
         from upscale_video_tpu.pipeline.process import process_file
+        from upscale_video_tpu.video import backend as vb
 
+        opened = []
+        orig = vb.FfmpegBackend.open_source
+
+        def spy(self, *a, **kw):
+            s = orig(self, *a, **kw)
+            opened.append(s)
+            return s
+
+        monkeypatch.setattr(vb.FfmpegBackend, "open_source", spy)
         src = tmp_path / "movie.raw"
         src.write_bytes(b"container-bytes")
         out = str(tmp_path / "movie.2x.raw")
@@ -269,9 +279,54 @@ class TestFfmpegBackendPipeline:
             synthetic_models=True, precision="f32", frames_per_step=4,
             pipe_pix="yuv420p", engine=_small_engine(),
         )
+        (decoder,) = opened
+        assert decoder.output_pix_fmt == "yuv420p" and decoder.raw_i420
+        i = decoder.args.index("-f")  # output section: -f rawvideo -pix_fmt
+        assert decoder.args[i:i + 4] == ["-f", "rawvideo", "-pix_fmt",
+                                         "yuv420p"]
         assert res.frames_processed == N
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3 // 2
+
+    def test_non_420_source_keeps_rgb_decode(self, fake_ffmpeg, tmp_path,
+                                             monkeypatch):
+        """A probed 4:4:4/10-bit source must NOT be downsampled by the
+        input contract: decode stays rgb24 (the output side still ships
+        4:2:0)."""
+        from upscale_video_tpu.pipeline.process import process_file
+        from upscale_video_tpu.video import backend as vb
+
+        orig_probe = vb.FfmpegBackend.probe
+
+        def probe(self, input_file, workdir):
+            info = orig_probe(self, input_file, workdir)
+            info["pix_fmt"] = "yuv444p10le"
+            return info
+
+        opened = []
+        orig = vb.FfmpegBackend.open_source
+
+        def spy(self, *a, **kw):
+            s = orig(self, *a, **kw)
+            opened.append(s)
+            return s
+
+        monkeypatch.setattr(vb.FfmpegBackend, "probe", probe)
+        monkeypatch.setattr(vb.FfmpegBackend, "open_source", spy)
+        src = tmp_path / "movie.raw"
+        src.write_bytes(b"container-bytes")
+        out = str(tmp_path / "movie.2x.raw")
+        res = process_file(
+            str(src), output_file=out, ffmpeg=fake_ffmpeg,
+            scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+            synthetic_models=True, precision="f32", frames_per_step=4,
+            pipe_pix="yuv420p", engine=_small_engine(),
+        )
+        (decoder,) = opened
+        assert decoder.output_pix_fmt == "rgb24" and not decoder.raw_i420
+        assert res.frames_processed == N
+        data = open(out, "rb").read()
+        assert len(data) == N * (2 * W) * (2 * H) * 3 // 2  # I420 out
 
 
     def test_resume_seeks_past_completed_prefix(self, fake_ffmpeg, tmp_path,

@@ -15,5 +15,5 @@ Flag letters are preserved where they existed (-i -o -f -e -p -m -s -t -b
 without it the hermetic Y4M/PNG backend is used.  TPU-specific knobs are
 new long flags (--precision --tile_size --halo --frames_per_step
 --model_path --global_quality --data_plane --pipe_pix --parallel
---conv_impl --copy_audio --trace_dir).
+--conv_impl --tta --copy_audio --trace_dir).
 """

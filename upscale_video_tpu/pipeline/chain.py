@@ -420,6 +420,15 @@ class ChainEngine:
         self._yuv_steps[key] = self._finalize(fn)
         return self._yuv_steps[key]
 
+    @property
+    def input_rank_flexible(self) -> bool:
+        """Whether finalized steps accept non-rank-4 inputs (the flat
+        I420 input contract): sp's GSPMD spec shards the input's H axis
+        and therefore requires rank-4 frames; dp/tp/single-chip are
+        rank-agnostic.  The policy lives HERE, next to the sharding
+        (process.py consults it instead of sniffing mesh internals)."""
+        return getattr(self, "_mesh_mode", "dp") != "sp"
+
     def _finalize(self, fn: Callable) -> Callable:
         """jit ``fn`` with whatever mesh :meth:`use_chips` selected: ``dp``
         shards the frame batch, ``sp`` shards each frame's H axis (the fused

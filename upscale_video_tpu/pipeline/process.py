@@ -322,59 +322,68 @@ def _run_stream_plane(
     # bytes, zero host/decoder colour work; ops/yuv.i420_to_model)
     inner_src = backend.open_source(
         input_file, info, crop, start_frame=start_frame,
-        # sp shards the input's H axis (rank-4 GSPMD spec) — a flat I420
-        # buffer has no row axis to shard, so sp keeps RGB input
+        # a flat I420 buffer has no row axis for sp's H-sharding spec
+        # (chain.py owns the policy)
         raw_i420=(yuv420 and src_h % 2 == 0 and src_w % 2 == 0
-                  and getattr(engine, "_mesh_mode", "dp") != "sp"),
+                  and engine.input_rank_flexible),
     )
     i420_in = ((src_h, src_w, inner_src.i420_full_range)
                if getattr(inner_src, "raw_i420", False) else None)
 
-    if yuv420:
-        # 4:2:0 output contract: the step emits packed [Y|Cb|Cr] planes
-        # (ops/yuv.py) — half the D2H bytes, no encoder-side swscale; the
-        # sink thread assembles the contiguous I420 buffer
-        from upscale_video_tpu.ops.yuv import packed_to_i420
+    try:
+        if yuv420:
+            # 4:2:0 output contract: the step emits packed [Y|Cb|Cr]
+            # planes (ops/yuv.py) — half the D2H bytes, no encoder-side
+            # swscale; the sink thread assembles the contiguous I420
+            # buffer
+            from upscale_video_tpu.ops.yuv import packed_to_i420
 
-        use_planar = bool(planar) and planar % 2 == 0
-        step_fn = engine.yuv_step(backend.yuv_full_range, planar=use_planar,
-                                  i420_in=i420_in)
-        pack_s = planar if use_planar else 2
-        _ybuf = []
-        total = out_h * out_w * 3 // 2
+            use_planar = bool(planar) and planar % 2 == 0
+            step_fn = engine.yuv_step(backend.yuv_full_range,
+                                      planar=use_planar, i420_in=i420_in)
+            pack_s = planar if use_planar else 2
+            _ybuf = []
+            total = out_h * out_w * 3 // 2
 
-        def transform(p):  # noqa: E306
-            if not _ybuf:
-                _ybuf[:] = [np.empty((total,), np.uint8)]
-            return packed_to_i420(p, pack_s, out=_ybuf[0])
+            def transform(p):  # noqa: E306
+                if not _ybuf:
+                    _ybuf[:] = [np.empty((total,), np.uint8)]
+                return packed_to_i420(p, pack_s, out=_ybuf[0])
 
-        log.info(
-            "yuv420 output contract active (%s range%s%s)",
-            "full" if backend.yuv_full_range else "limited",
-            f", planar s={planar}" if use_planar else "",
-            ", i420 input" if i420_in else "",
-        )
-    elif planar:
-        from upscale_video_tpu.ops.pixel import planar_to_frames
+            log.info(
+                "yuv420 output contract active (%s range%s%s)",
+                "full" if backend.yuv_full_range else "limited",
+                f", planar s={planar}" if use_planar else "",
+                ", i420 input" if i420_in else "",
+            )
+        elif planar:
+            from upscale_video_tpu.ops.pixel import planar_to_frames
 
-        step_fn = engine.planar_step
-        # one reused interleave target: transform and the sink's write run
-        # sequentially on the writer thread (the pipe ring memcpys on
-        # submit), so the buffer is free again by the next frame — a fresh
-        # 25 MB alloc per 4K frame measurably stalls small hosts
-        _ibuf = []
+            step_fn = engine.planar_step
+            # one reused interleave target: transform and the sink's write
+            # run sequentially on the writer thread (the pipe ring memcpys
+            # on submit), so the buffer is free again by the next frame —
+            # a fresh 25 MB alloc per 4K frame measurably stalls small
+            # hosts
+            _ibuf = []
 
-        def transform(p):  # noqa: E306
-            if not _ibuf or _ibuf[0].shape[0] != p.shape[0] * planar:
-                _ibuf[:] = [np.empty(
-                    (p.shape[0] * planar, p.shape[1] * planar, 3), np.uint8
-                )]
-            return planar_to_frames(p, planar, out=_ibuf[0])
+            def transform(p):  # noqa: E306
+                if not _ibuf or _ibuf[0].shape[0] != p.shape[0] * planar:
+                    _ibuf[:] = [np.empty(
+                        (p.shape[0] * planar, p.shape[1] * planar, 3),
+                        np.uint8
+                    )]
+                return planar_to_frames(p, planar, out=_ibuf[0])
 
-        log.info("planar output contract active (s=%d)", planar)
-    else:
-        step_fn = engine.step
-        transform = None
+            log.info("planar output contract active (s=%d)", planar)
+        else:
+            step_fn = engine.step
+            transform = None
+    except BaseException:
+        # a live decoder pipe must not outlive a failed step build
+        # (orphaned ffmpeg blocked writing a full pipe + reader thread)
+        inner_src.close()
+        raise
 
     source = PrefetchSource(inner_src, depth=2 * frames_per_step)
     try:

@@ -130,7 +130,13 @@ class FfmpegBackend(VideoBackend):
             self.ffmpeg, input_file, width=w, height=h,
             frame_rate=Fraction(info["frame_rate_fraction"]),
             crop_filter=crop, num_frames=remaining, start_frame=start_frame,
+            # gate on the PROBED source format: decoding a 4:4:4/4:2:2/
+            # 10-bit source via the i420 contract would downsample chroma
+            # or depth the SR model could otherwise use (unknown pix_fmt —
+            # an older cache — safely keeps rgb24)
             output_pix_fmt=("yuv420p" if raw_i420 and not (h % 2 or w % 2)
+                            and info.get("pix_fmt") in ("yuv420p",
+                                                        "yuvj420p")
                             else "rgb24"),
         )
 

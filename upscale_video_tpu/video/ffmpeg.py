@@ -56,7 +56,7 @@ def probe_cmd(ffmpeg: str, input_file: str) -> List[str]:
     return [
         ffprobe_path(ffmpeg), "-hide_banner", "-v", "quiet",
         "-show_format", "-select_streams", "v:0", "-count_packets",
-        "-show_entries", "stream=nb_read_packets,r_frame_rate,width,height",
+        "-show_entries", "stream=nb_read_packets,r_frame_rate,width,height,pix_fmt",
         "-print_format", "json", "-loglevel", "error", "-i", input_file,
     ]
 
@@ -139,6 +139,9 @@ def _derive_metadata_fields(info: Dict) -> None:
     info["frame_rate_fraction"] = f"{rate.numerator}/{rate.denominator}"
     info["width"] = int(stream.get("width", 0))
     info["height"] = int(stream.get("height", 0))
+    # the 4:2:0 input contract gates on this (absent in caches written by
+    # older versions / the reference: treated as unknown -> rgb24 decode)
+    info["pix_fmt"] = stream.get("pix_fmt", "")
 
 
 def get_metadata(

@@ -147,6 +147,7 @@ class Y4MSource(FrameSource):
             raise ValueError("not a YUV4MPEG2 stream")
         self.colorspace = "C420jpeg"
         self.frame_rate = Fraction(25, 1)
+        xrange = None
         for tok in header.split()[1:]:
             c, v = tok[:1], tok[1:].decode()
             if c == b"W":
@@ -158,6 +159,11 @@ class Y4MSource(FrameSource):
                 self.frame_rate = Fraction(int(n), int(d))
             elif c == b"C":
                 self.colorspace = "C" + v
+            elif c == b"X" and v.upper().startswith("COLORRANGE="):
+                # newer ffmpeg tags range explicitly (e.g. full-range
+                # content stored as C420mpeg2 XCOLORRANGE=FULL); this
+                # overrides the siting-tag heuristic below
+                xrange = v.split("=", 1)[1].upper()
         if self.colorspace.startswith("C444"):
             self._planes = [(self.height, self.width)] * 3
         elif self.colorspace.startswith("C420"):
@@ -169,7 +175,14 @@ class Y4MSource(FrameSource):
         else:
             raise NotImplementedError(f"y4m colorspace {self.colorspace}")
         self.raw_i420 = raw_i420
-        self.i420_full_range = self.colorspace == "C420jpeg"
+        if xrange is not None:
+            self.i420_full_range = xrange == "FULL"
+        else:
+            # siting-tag heuristic: jpeg-siting = full; bare C420/
+            # C420mpeg2 = studio (what ffmpeg writes); C444 defaults FULL
+            # for self-consistency with Y4MSink's own full-range writes
+            self.i420_full_range = (self.colorspace == "C420jpeg"
+                                    or self.colorspace.startswith("C444"))
         if raw_i420 and not self.colorspace.startswith("C420"):
             raise ValueError(
                 f"raw_i420 needs a C420-class stream, got {self.colorspace}"
@@ -230,14 +243,14 @@ class Y4MSource(FrameSource):
                 raise ValueError("truncated y4m frame")
             planes.append(np.frombuffer(buf, np.uint8).reshape(h, w))
         y, u, v = planes
-        if u.shape != y.shape:  # upsample 420 chroma
-            u = np.repeat(np.repeat(u, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
-            v = np.repeat(np.repeat(v, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
-        if self.colorspace.startswith("C420") and not self.i420_full_range:
-            # bare C420/C420mpeg2 carry studio levels (what ffmpeg writes);
-            # expand to full range before the full-range converter — the
-            # previous full-range-everywhere read washed foreign files out.
-            # (Our own sinks only ever write C420jpeg/C444, both full.)
+        if not self.i420_full_range:
+            # studio-level stream (bare C420/C420mpeg2, or any colorspace
+            # tagged XCOLORRANGE=LIMITED): expand before the full-range
+            # converter — the previous full-range-everywhere read washed
+            # foreign files out.  (Our own sinks write full-range
+            # C420jpeg/C444 only, unaffected.)  Runs on the still-
+            # subsampled chroma (pointwise: order-independent, 4x fewer
+            # elements than post-upsample).
             def expand(p, off, scale):
                 f = (p.astype(np.float32) - off) * scale + (0 if off == 16
                                                             else 128)
@@ -246,6 +259,9 @@ class Y4MSource(FrameSource):
             y = expand(y, 16, 255.0 / 219.0)
             u = expand(u, 128, 255.0 / 224.0)
             v = expand(v, 128, 255.0 / 224.0)
+        if u.shape != y.shape:  # upsample 420 chroma
+            u = np.repeat(np.repeat(u, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+            v = np.repeat(np.repeat(v, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
         native = _imgproc()
         if native:
             return native.ycbcr444_to_rgb(y, u, v)
