@@ -293,3 +293,32 @@ def test_rrdb_unshuffle_odd_geometry_mod_pad():
     assert ours.shape == (1, 14, 18, 3)
     diff = np.abs(ours - y[:, ::-1].transpose(0, 2, 3, 1)).max()
     assert diff < 1e-4, f"mod-pad mismatch: {diff}"
+
+
+def test_old_arch_esrgan_import():
+    """Pre-basicsr ESRGAN naming (model.0, model.1.sub.N.RDBj.convK.0,
+    model.3/6/8/10) — the form most community 4x models still ship —
+    translates onto the same graph and matches the torch forward."""
+    import jax.numpy as jnp
+
+    sd = make_rrdb_sd(num_rrdb=2, num_feat=8, num_grow=4, ups=2)
+    trunk = 2  # = num_rrdb
+    ren = {"conv_first": "model.0", "conv_body": f"model.1.sub.{trunk}",
+           "conv_up1": "model.3", "conv_up2": "model.6",
+           "conv_hr": "model.8", "conv_last": "model.10"}
+    old = {}
+    for k, v in sd.items():
+        stem, wb = k.rsplit(".", 1)
+        if stem in ren:
+            old[f"{ren[stem]}.{wb}"] = v
+        else:  # body.i.rdbj.convk -> model.1.sub.i.RDBj.convk.0
+            import re as _re
+
+            m = _re.match(r"body\.(\d+)\.rdb(\d)\.conv(\d)", stem)
+            old[f"model.1.sub.{m.group(1)}.RDB{m.group(2)}"
+                f".conv{m.group(3)}.0.{wb}"] = v
+    assert detect_arch(old) == "rrdb_old"
+    model = import_torch_checkpoint(old, compute_dtype=jnp.float32)
+    assert model.scale == 4
+    diff = _ours_vs_torch(model, sd, lambda x: rrdb_forward(sd, x))
+    assert diff < 1e-4, f"old-arch import mismatch: {diff}"

@@ -80,15 +80,53 @@ def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
 
 
+_OLD_ESRGAN_RE = re.compile(
+    r"model\.1\.sub\.(\d+)\.RDB(\d)\.conv(\d)\.0\.(weight|bias)$"
+)
+
+
+def _translate_old_esrgan(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Old-architecture ESRGAN naming (pre-basicsr: ``model.0``,
+    ``model.1.sub.N.RDB{j}.conv{k}.0``, ``model.3/6/8/10``) -> basicsr
+    RRDBNet keys.  The structure is identical (vanilla 5-conv dense
+    blocks, x4 nearest+conv upsampling), only the registry names differ —
+    most community 4x models on the upscale wikis still ship this form."""
+    out: Dict[str, np.ndarray] = {}
+    trunk_idx = 1 + max(int(m.group(1)) for k in sd
+                        if (m := _OLD_ESRGAN_RE.match(k)))
+    fixed = {
+        "model.0": "conv_first",
+        f"model.1.sub.{trunk_idx}": "conv_body",
+        "model.3": "conv_up1",
+        "model.6": "conv_up2",
+        "model.8": "conv_hr",
+        "model.10": "conv_last",
+    }
+    for k, v in sd.items():
+        m = _OLD_ESRGAN_RE.match(k)
+        if m:
+            i, j, c, wb = m.groups()
+            out[f"body.{i}.rdb{j}.conv{c}.{wb}"] = v
+            continue
+        stem, wb = k.rsplit(".", 1)
+        if stem in fixed and wb in ("weight", "bias"):
+            out[f"{fixed[stem]}.{wb}"] = v
+            continue
+        raise ValueError(f"unrecognized old-ESRGAN key {k!r}")
+    return out
+
+
 def detect_arch(sd: Dict[str, np.ndarray]) -> str:
     if any(re.match(r"body\.\d+\.rdb\d\.conv\d\.weight$", k) for k in sd):
         return "rrdb"
+    if any(_OLD_ESRGAN_RE.match(k) for k in sd):
+        return "rrdb_old"
     if "body.0.weight" in sd and "body.1.weight" in sd:
         return "srvgg"
     raise ValueError(
         "unrecognized checkpoint: expected SRVGGNetCompact (body.N conv/"
-        "PReLU pairs) or basicsr RRDBNet (body.N.rdbM.convK) keys; got "
-        f"{sorted(sd)[:8]}..."
+        "PReLU pairs), basicsr RRDBNet (body.N.rdbM.convK), or old-arch "
+        f"ESRGAN (model.1.sub.N.RDBx) keys; got {sorted(sd)[:8]}..."
     )
 
 
@@ -232,6 +270,9 @@ def import_torch_checkpoint(
         obj = torch.load(obj, map_location="cpu", weights_only=True)
     sd = _extract_state_dict(obj)
     arch = detect_arch(sd)
+    if arch == "rrdb_old":
+        sd = _translate_old_esrgan(sd)
+        arch = "rrdb"
     model = (_import_srvgg if arch == "srvgg" else _import_rrdb)(
         sd, compute_dtype
     )
