@@ -26,8 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                     ".param/.bin files usable with -m",
     )
     p.add_argument("-i", "--input", required=True,
-                   help="torch checkpoint (.pth) — SRVGGNetCompact or "
-                        "basicsr RRDBNet state_dict.")
+                   help="torch checkpoint (.pth): SRVGGNetCompact, basicsr "
+                        "RRDBNet (incl. the pixel-unshuffle x2/x1 "
+                        "variants), or old-architecture ESRGAN "
+                        "(model.1.sub.N.RDBx keys).")
     p.add_argument("-o", "--output_dir", required=True,
                    help="Directory for the .param/.bin files.")
     p.add_argument("--stem", help="Output stem suffix (default: the input "
