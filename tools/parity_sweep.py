@@ -28,13 +28,17 @@ import sys
 import numpy as np
 
 CHAINS = [
-    # (label, models DSL, scale, synthetic)
-    ("compact-2x", None, 2, False),
-    ("compact-4x", None, 4, False),
-    ("anime-1x", "a", 1, False),
-    ("denoise-n3", "n=3", 1, False),
-    ("chain-a-n3-2x", "a,n=3", 2, False),
-    ("valar-4x-synth", "r", 4, True),
+    # (label, models DSL, scale, synthetic, mode)
+    # mode: "rgb" = uint8 frames step; "yuv" = the symmetric 4:2:0
+    # contract (flat I420 in -> packed 4:2:0 out; ops/yuv.py)
+    ("compact-2x", None, 2, False, "rgb"),
+    ("compact-4x", None, 4, False, "rgb"),
+    ("anime-1x", "a", 1, False, "rgb"),
+    ("denoise-n3", "n=3", 1, False, "rgb"),
+    ("chain-a-n3-2x", "a,n=3", 2, False, "rgb"),
+    ("valar-4x-synth", "r", 4, True, "rgb"),
+    ("compact-2x-yuv420-io", None, 2, False, "yuv"),
+    ("chain-a-n3-2x-yuv420-io", "a,n=3", 2, False, "yuv"),
 ]
 
 
@@ -60,9 +64,26 @@ def build_engine(models, scale, synthetic, dtype):
 def run_chains(dtype):
     x = make_input()
     outs = {}
-    for label, models, scale, synthetic in CHAINS:
+    for label, models, scale, synthetic, mode in CHAINS:
         eng = build_engine(models, scale, synthetic, dtype)
-        outs[label] = np.asarray(eng.step(x))
+        if mode == "yuv":
+            import jax.numpy as jnp
+
+            from upscale_video_tpu.ops.yuv import (
+                packed_to_i420, yuv420_from_frames,
+            )
+
+            h, w = x.shape[1], x.shape[2]
+            flat = np.stack([
+                packed_to_i420(p, 2) for p in
+                np.asarray(yuv420_from_frames(jnp.asarray(x), True))
+            ])
+            use_planar = bool(eng.planar_scale) and eng.planar_scale % 2 == 0
+            step = eng.yuv_step(True, planar=use_planar,
+                                i420_in=(h, w, True))
+            outs[label] = np.asarray(step(jnp.asarray(flat)))
+        else:
+            outs[label] = np.asarray(eng.step(x))
         print(f"  [{dtype}] {label}: {outs[label].shape}",
               file=sys.stderr, flush=True)
     return outs
@@ -75,6 +96,12 @@ def main():
     args = p.parse_args()
 
     if args.phase == "oracle":
+        # this image's jax plugin ignores the JAX_PLATFORMS env var
+        # (verify-skill gotcha); the config API before first backend use
+        # is authoritative
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         outs = run_chains("f32")
         np.savez(args.oracle_file, **outs)
         return 0
@@ -97,7 +124,7 @@ def main():
     print("\n| chain | maxLSB (TPU f32 vs CPU f32) | PSNR dB (TPU bf16 vs "
           "f32 oracle) |")
     print("|---|---|---|")
-    for label, _, _, _ in CHAINS:
+    for label, _, _, _, _ in CHAINS:
         lsb = int(np.max(np.abs(
             tpu_f32[label].astype(np.int32) - oracle[label].astype(np.int32)
         )))
