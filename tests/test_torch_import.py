@@ -322,3 +322,21 @@ def test_old_arch_esrgan_import():
     assert model.scale == 4
     diff = _ours_vs_torch(model, sd, lambda x: rrdb_forward(sd, x))
     assert diff < 1e-4, f"old-arch import mismatch: {diff}"
+
+
+def test_numpy_oracle_agrees_on_unshuffle_graph():
+    """The independent numpy executor stays complete: it must agree with
+    the JAX executor on a Reorg (pixel-unshuffle) graph."""
+    import jax.numpy as jnp
+
+    from upscale_video_tpu.models.numpy_ref import forward_numpy
+
+    sd = make_rrdb_sd(num_rrdb=1, num_feat=8, num_grow=4, ups=2)
+    sd["conv_first.weight"] = _t(8, 12, 3, 3)
+    model = import_torch_checkpoint(sd, compute_dtype=jnp.float32)
+    x = RNG.uniform(0, 1, (1, 8, 12, 3)).astype(np.float32)
+    a = np.asarray(model.forward(model.params, jnp.asarray(x)))
+    host = {k: {n: np.asarray(v) for n, v in e.items()}
+            for k, e in model.params.items()}
+    b = forward_numpy(model.graph, host, x)
+    assert np.abs(a - b).max() < 1e-4

@@ -99,6 +99,16 @@ def forward_numpy(graph: NcnnGraph, params: Dict[str, Dict[str, np.ndarray]], x:
                     for j in range(r):
                         src_c = c * r * r + i * r + j if mode == 0 else (i * r + j) * cout + c
                         y[:, i::r, j::r, c] = ins[0][..., src_c]
+        elif t == "Reorg":
+            # space-to-depth, torch pixel_unshuffle order (inverse of
+            # PixelShuffle mode 0; executor._op_reorg)
+            r = layer.attr_i(0, 1)
+            n, h, w, cin = ins[0].shape
+            y = np.zeros((n, h // r, w // r, cin * r * r), ins[0].dtype)
+            for c in range(cin):
+                for i in range(r):
+                    for j in range(r):
+                        y[..., c * r * r + i * r + j] = ins[0][:, i::r, j::r, c]
         elif t == "Interp":
             rtype = layer.attr_i(0, 0)
             hs = layer.attr_f(1, 1.0)
