@@ -99,6 +99,18 @@ def forward_numpy(graph: NcnnGraph, params: Dict[str, Dict[str, np.ndarray]], x:
                     for j in range(r):
                         src_c = c * r * r + i * r + j if mode == 0 else (i * r + j) * cout + c
                         y[:, i::r, j::r, c] = ins[0][..., src_c]
+        elif t == "ReLU":
+            slope = layer.attr_f(0, 0.0)
+            y = (np.where(ins[0] >= 0, ins[0], ins[0] * slope) if slope
+                 else np.maximum(ins[0], 0))
+        elif t == "Clip":
+            y = np.clip(ins[0], layer.attr_f(0, -3.4e38),
+                        layer.attr_f(1, 3.4e38))
+        elif t == "Sigmoid":
+            y = 1.0 / (1.0 + np.exp(-ins[0]))
+        elif t == "Dropout":
+            scale = layer.attr_f(0, 1.0)
+            y = ins[0] if scale == 1.0 else ins[0] * scale
         elif t == "Reorg":
             # space-to-depth, torch pixel_unshuffle order (inverse of
             # PixelShuffle mode 0; executor._op_reorg)
