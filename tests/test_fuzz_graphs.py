@@ -126,6 +126,10 @@ def test_random_graph_matches_numpy_oracle(seed):
     a = np.asarray(fwd(params, jnp.asarray(x)))
     b = forward_numpy(graph, params, x)
     assert a.shape == b.shape, (seed, a.shape, b.shape)
-    assert np.abs(a - b).max() < 1e-4, (
-        f"seed {seed}: maxabs {np.abs(a - b).max()}"
+    # relative bound: multiply-chains legally amplify magnitudes into the
+    # hundreds, where f32 summation-order differences reach ~1e-4 absolute
+    # (soak seed 50290: maxabs 4.7e-4 at |y|~1400, relmax 1.5e-5)
+    tol = 1e-4 * max(1.0, float(np.abs(b).max()))
+    assert np.abs(a - b).max() < tol, (
+        f"seed {seed}: maxabs {np.abs(a - b).max()} (tol {tol})"
     )
