@@ -340,3 +340,37 @@ def test_numpy_oracle_agrees_on_unshuffle_graph():
             for k, e in model.params.items()}
     b = forward_numpy(model.graph, host, x)
     assert np.abs(a - b).max() < 1e-4
+
+
+def test_fix_frames_with_custom_sr_model(tmp_path):
+    """Repair (fix-frames) loads the same sr=<stem> custom model the main
+    run used — the full interop loop for imported checkpoints."""
+    from upscale_video_tpu.cli.import_model import main as import_main
+    from upscale_video_tpu.pipeline.process import process_file
+    from upscale_video_tpu.pipeline.workflows import fix_frames
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+    sd = make_srvgg_sd(num_conv=1, num_feat=8, scale=2)
+    pth = str(tmp_path / "m.pth")
+    torch.save(sd, pth)
+    mdir = str(tmp_path / "models")
+    assert import_main(["-i", pth, "-o", mdir, "--stem", "x_m"]) == 0
+
+    vid = str(tmp_path / "in.y4m")
+    frames = RNG.integers(0, 256, (4, 10, 14, 3)).astype(np.uint8)
+    with Y4MSink(vid, 14, 10, "24/1") as s:
+        for f in frames:
+            s.write(f)
+    out = str(tmp_path / "out.y4m")
+    process_file(vid, out, temp_dir=str(tmp_path / "t"), scale=2,
+                 models="sr=x_m", model_path=mdir, precision="f32",
+                 data_plane="png", resume_processing=True)
+    import os
+
+    work = os.path.join(str(tmp_path / "t"), "upscale_video")
+    # corrupt frame 2's final artifact, then repair with the SAME chain
+    os.remove(os.path.join(work, "2.png")) if os.path.exists(
+        os.path.join(work, "2.png")) else None
+    fix_frames(vid, "2", scale=2, temp_dir=str(tmp_path / "t"),
+               models="sr=x_m", model_path=mdir, precision="f32")
+    assert os.path.exists(os.path.join(work, "2.png"))
