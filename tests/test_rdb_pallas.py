@@ -341,3 +341,24 @@ def test_tiled_engine_with_rdb_kernel(rng):
     assert a.shape == b.shape == (1, 80, 96, 3)
     # same tiling geometry, bf16 kernels vs bf16 XLA: a few u8 LSB
     assert np.abs(a - b).max() <= 4
+
+
+def test_tile_h_env_default(rng, monkeypatch):
+    """UPSCALE_TPU_RDB_TILE_H sets the default tile height, so a
+    geometry-specific tools/rdb_bench.py winner ships without a code
+    change; an explicit tile_h always wins over the env."""
+    x = jnp.asarray(rng.normal(0, 0.5, (32, 40, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    explicit = np.asarray(
+        rdb_apply(x, ws, bs, tile_h=16, tile_w=24, interpret=True)
+    )
+    monkeypatch.setenv("UPSCALE_TPU_RDB_TILE_H", "16")
+    via_env = np.asarray(
+        rdb_apply(x, ws, bs, tile_w=24, interpret=True)
+    )
+    np.testing.assert_array_equal(explicit, via_env)
+    monkeypatch.setenv("UPSCALE_TPU_RDB_TILE_H", "8")
+    overridden = np.asarray(
+        rdb_apply(x, ws, bs, tile_h=16, tile_w=24, interpret=True)
+    )
+    np.testing.assert_array_equal(explicit, overridden)

@@ -29,6 +29,7 @@ upscale_processing.py:913-914 selects this model for ``-m r``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -203,7 +204,7 @@ def rdb_apply(
     x: jnp.ndarray,
     ws: Sequence,
     bs: Sequence,
-    tile_h: int = 32,
+    tile_h: Optional[int] = None,
     tile_w: int = 256,
     slope: float = 0.2,
     act5: bool = False,
@@ -218,9 +219,15 @@ def rdb_apply(
 
     Valar-variant hooks (4x_Valar_v1.param dense blocks): ``skip_w`` — a
     1x1 conv from x added into c2 post-activation (Conv_6/Add_7);
-    ``add_c2_to_c4`` — re-add c2 into c4 (Add_14)."""
+    ``add_c2_to_c4`` — re-add c2 into c4 (Add_14).
+
+    ``tile_h`` defaults to ``UPSCALE_TPU_RDB_TILE_H`` (else 32, the
+    measured round-3 default) so a geometry-specific winner from
+    tools/rdb_bench.py ships without a code change."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_h is None:
+        tile_h = int(os.environ.get("UPSCALE_TPU_RDB_TILE_H", "32"))
     wmats, biases = pack_rdb_weights(ws, bs)
     has_skip = skip_w is not None
     if has_skip:
