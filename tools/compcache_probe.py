@@ -63,33 +63,40 @@ def main():
         child = f.name
 
     times = []
-    for run in (1, 2):
-        r = subprocess.run(
-            [sys.executable, child, cache],
-            capture_output=True, text=True, timeout=900,
-        )
-        sys.stderr.write(r.stderr[-2000:])
-        print(f"--- run {run} ---\n{r.stdout}", flush=True)
-        if r.returncode != 0:
-            print(f"RESULT: run {run} failed (rc={r.returncode})")
-            return 1
-        for line in r.stdout.splitlines():
-            if line.startswith("COMPILE_SECONDS"):
-                times.append(float(line.split()[1]))
-        entries = sum(len(fs) for _, _, fs in os.walk(cache))
-        print(f"cache entries after run {run}: {entries}", flush=True)
+    try:
+        for run in (1, 2):
+            r = subprocess.run(
+                [sys.executable, child, cache],
+                capture_output=True, text=True, timeout=900,
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            print(f"--- run {run} ---\n{r.stdout}", flush=True)
+            if r.returncode != 0:
+                print(f"RESULT: run {run} failed (rc={r.returncode})")
+                return 1
+            for line in r.stdout.splitlines():
+                if line.startswith("COMPILE_SECONDS"):
+                    times.append(float(line.split()[1]))
+            entries = sum(len(fs) for _, _, fs in os.walk(cache))
+            print(f"cache entries after run {run}: {entries}", flush=True)
+    finally:
+        os.unlink(child)
 
-    if len(times) == 2:
-        speedup = times[0] / max(times[1], 1e-9)
-        verdict = (
-            "SUPPORTED (executables serialize; compiles amortize)"
-            if entries > 0 and times[1] < 0.5 * times[0]
-            else "NOT EFFECTIVE on this backend"
-        )
-        print(
-            f"RESULT: cold {times[0]:.2f}s -> warm {times[1]:.2f}s "
-            f"({speedup:.1f}x), entries={entries} -> {verdict}"
-        )
+    if len(times) != 2:
+        # a child that exits 0 without printing COMPILE_SECONDS must not
+        # read as success to an unattended queue
+        print(f"RESULT: INCONCLUSIVE (parsed {len(times)}/2 compile times)")
+        return 2
+    speedup = times[0] / max(times[1], 1e-9)
+    verdict = (
+        "SUPPORTED (executables serialize; compiles amortize)"
+        if entries > 0 and times[1] < 0.5 * times[0]
+        else "NOT EFFECTIVE on this backend"
+    )
+    print(
+        f"RESULT: cold {times[0]:.2f}s -> warm {times[1]:.2f}s "
+        f"({speedup:.1f}x), entries={entries} -> {verdict}"
+    )
     return 0
 
 

@@ -1,8 +1,12 @@
 #!/bin/bash
-# Unattended sequential TPU measurement queue — pending items as of round 3
-# session 4 (NOTES.md).  One TPU process at a time (CLAUDE.md); logs land in
-# .hwlogs/ (gitignored).  Run: nohup bash tools/hw_queue.sh & — and KILL the
-# whole tree before any other TPU job (incl. the driver's round-end bench).
+# Unattended sequential TPU measurement queue — round-4 items (VERDICT #1).
+# One TPU process at a time (CLAUDE.md); logs land in .hwlogs/ (gitignored).
+# Run: nohup bash tools/hw_queue.sh & — and KILL the whole tree before any
+# other TPU job (incl. the driver's round-end bench).
+#
+# bench.py headline/valar runs are NOT here: they run after the round-4
+# bench.py rework (median+spread+mfu contract) so the artifacts carry the
+# new fields.
 set -u
 cd "$(dirname "$0")/.."
 export UPSCALE_TPU_MODEL_PATH=${UPSCALE_TPU_MODEL_PATH:-/root/reference/models}
@@ -10,7 +14,7 @@ R=.hwlogs
 mkdir -p "$R"
 mark() { echo "$(date -u +%H:%M:%S) $1" >> "$R/QUEUE_STATE"; }
 
-mark "hw_queue start"
+mark "hw_queue(r4) start"
 
 # Parity sweep refresh incl. the two symmetric-4:2:0 rows (session-4 launch
 # failed only because UPSCALE_TPU_MODEL_PATH was not exported).
@@ -23,23 +27,24 @@ timeout 2400 python tools/parity_sweep.py --phase tpu \
     > "$R/parity_tpu.log" 2>&1
 mark "parity_tpu rc=$?"
 
-# RDB tile_h A/B at the shipped 392x512 geometry.  CAUTION: the th=32
-# compile at this geometry ran >20 min twice (session 4) — budget a
-# 45-min timeout and treat compile cost as part of the verdict (th=64
-# was disqualified on compile time alone).  If th=56 wins, ship it via
-# UPSCALE_TPU_RDB_TILE_H (no code change) + refresh the sidecar below.
-mark "rdb_tileh start"
-timeout 2700 python tools/rdb_bench.py --size 392x512 --tile_h 32,56 \
-    --reps 3 > "$R/rdb_tileh.log" 2>&1
-mark "rdb_tileh rc=$?"
-
-# Valar sidecar + headline refresh (the sidecar rides the headline artifact).
-mark "valar_bench start"
-timeout 2400 python bench.py --models r --verbose > "$R/valar_bench.log" 2>&1
-mark "valar_bench rc=$?"
-mark "headline start"
-timeout 1800 python bench.py --verbose > "$R/headline.log" 2>&1
-mark "headline rc=$?"
+# RDB tile_h A/B at the shipped 392x512 geometry.  ADVICE r3: th=56 (the
+# actually-pending measurement; 392 = 7x56 exact fit) runs FIRST with its
+# own timeout so the pathological th=32 compile cannot starve it.  Then two
+# controls decide the Mosaic compile-pathology trigger: th=28 (392 = 14x28,
+# tile-aligned) vs th=32 (392/32 = 12.25, ragged padding path).  th=64 was
+# already disqualified on compile time (round 3).
+mark "rdb_tileh_56 start"
+timeout 2400 python tools/rdb_bench.py --size 392x512 --tile_h 56 \
+    --reps 3 > "$R/rdb_tileh_56.log" 2>&1
+mark "rdb_tileh_56 rc=$?"
+mark "rdb_tileh_28 start"
+timeout 1800 python tools/rdb_bench.py --size 392x512 --tile_h 28 \
+    --reps 3 --skip_parity > "$R/rdb_tileh_28.log" 2>&1
+mark "rdb_tileh_28 rc=$?"
+mark "rdb_tileh_32 start"
+timeout 2700 python tools/rdb_bench.py --size 392x512 --tile_h 32 \
+    --reps 3 --skip_parity > "$R/rdb_tileh_32.log" 2>&1
+mark "rdb_tileh_32 rc=$?"
 
 # Where the remaining ~204 ms/480px Valar tile goes after the RDB kernel.
 mark "valar_profile start"
@@ -53,4 +58,4 @@ timeout 1800 python tools/batch_ab.py --batches 4,8 --reps 3 \
     > "$R/batch_ab.log" 2>&1
 mark "batch_ab rc=$?"
 
-mark "hw_queue ALL DONE"
+mark "hw_queue(r4) ALL DONE"

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -227,7 +228,21 @@ def rdb_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
-        tile_h = int(os.environ.get("UPSCALE_TPU_RDB_TILE_H", "32"))
+        raw = os.environ.get("UPSCALE_TPU_RDB_TILE_H", "32")
+        try:
+            tile_h = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"UPSCALE_TPU_RDB_TILE_H={raw!r} is not an integer"
+            ) from None
+        if tile_h < 1:
+            raise ValueError(
+                f"UPSCALE_TPU_RDB_TILE_H={tile_h} must be >= 1"
+            )
+        if tile_h % 8:
+            warnings.warn(
+                f"UPSCALE_TPU_RDB_TILE_H={tile_h} is not a multiple of 8 "
+                "(TPU sublane); expect padding waste", stacklevel=2)
     wmats, biases = pack_rdb_weights(ws, bs)
     has_skip = skip_w is not None
     if has_skip:
