@@ -110,10 +110,12 @@ def build_args():
                    help="pipeline mode: timed clip length")
     p.add_argument("--frames_per_step", type=int, default=4,
                    help="pipeline mode: device batch depth")
-    p.add_argument("--pipe_pix", choices=["rgb24", "yuv420p"],
-                   default="rgb24",
+    p.add_argument("--pipe_pix", choices=["auto", "rgb24", "yuv420p"],
+                   default="auto",
                    help="pipeline mode: output contract (yuv420p = the "
-                        "device emits 4:2:0 — half the D2H bytes)")
+                        "device emits 4:2:0 — half the D2H bytes; auto, "
+                        "the product default, resolves to yuv420p for "
+                        "this bench's C420 clip)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--models", default=None,
                    help="chain DSL for the step under test (e.g. 'n=3')")
@@ -266,7 +268,7 @@ def run_pipeline_mode(args) -> float:
         # warm clip: same geometry + batch so the timed run reuses the
         # compiled program and has absorbed the first-transfer stall
         warm = os.path.join(tmp, "warm.y4m")
-        c420 = args.pipe_pix == "yuv420p"
+        c420 = args.pipe_pix != "rgb24"  # auto resolves to yuv420p here
         _make_clip(warm, args.height, args.width, 2 * args.frames_per_step,
                    c420=c420)
         process_file(
@@ -297,7 +299,7 @@ def run_pipeline_mode(args) -> float:
                           / PEAK_TFLOPS_BF16, 3)
                     if flops_source != "failed"
                     and args.precision == "bf16" else None),
-            "pipe_pix": args.pipe_pix,
+            "pipe_pix": res.pipe_pix,  # the RESOLVED contract
         }
         return res.frames_per_second, extras
     finally:

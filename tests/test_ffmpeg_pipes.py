@@ -228,7 +228,7 @@ class TestFfmpegBackendPipeline:
             str(src), output_file=out, ffmpeg=fake_ffmpeg,
             scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
             synthetic_models=True, precision="f32", frames_per_step=4,
-            engine=_small_engine(),
+            pipe_pix="rgb24", engine=_small_engine(),
         )
         assert res.frames_processed == N
         data = open(out, "rb").read()
@@ -252,6 +252,44 @@ class TestFfmpegBackendPipeline:
         assert res.frames_processed == N
         data = open(out, "rb").read()
         assert len(data) == N * (2 * W) * (2 * H) * 3 // 2  # I420 rawvideo
+
+    def test_default_auto_resolves_yuv420(self, fake_ffmpeg, tmp_path):
+        """The DEFAULT pipe_pix (auto) ships the 4:2:0 contract when the
+        encode target is 4:2:0 8-bit (the backend default yuv420p) — the
+        measured 1.60x transport win rides the default path."""
+        from upscale_video_tpu.pipeline.process import process_file
+
+        src = tmp_path / "movie.raw"
+        src.write_bytes(b"container-bytes")
+        out = str(tmp_path / "movie.2x.raw")
+        res = process_file(
+            str(src), output_file=out, ffmpeg=fake_ffmpeg,
+            scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+            synthetic_models=True, precision="f32", frames_per_step=4,
+            engine=_small_engine(),
+        )
+        assert res.pipe_pix == "yuv420p"
+        assert res.frames_processed == N
+        data = open(out, "rb").read()
+        assert len(data) == N * (2 * W) * (2 * H) * 3 // 2  # I420 rawvideo
+
+    def test_auto_keeps_rgb24_for_10bit_encode_target(self, fake_ffmpeg,
+                                                      tmp_path):
+        """auto + a 10-bit encode target (-p p010le): rgb24 input gives
+        the encoder's swscale full depth to work with."""
+        from upscale_video_tpu.pipeline.process import process_file
+
+        src = tmp_path / "movie.raw"
+        src.write_bytes(b"container-bytes")
+        out = str(tmp_path / "movie.2x.raw")
+        res = process_file(
+            str(src), output_file=out, ffmpeg=fake_ffmpeg, pix_fmt="p010le",
+            scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
+            synthetic_models=True, precision="f32", frames_per_step=4,
+            engine=_small_engine(),
+        )
+        assert res.pipe_pix == "rgb24"
+        assert res.frames_processed == N
 
     def test_yuv420_uses_i420_decode_pipe(self, fake_ffmpeg, tmp_path,
                                           monkeypatch):
@@ -349,7 +387,8 @@ class TestFfmpegBackendPipeline:
             output_file=out, ffmpeg=fake_ffmpeg, scale=2,
             temp_dir=str(tmp_path / "t"), batch_size=-3,
             synthetic_models=True, precision="f32", frames_per_step=2,
-            resume_processing=True, engine=_small_engine(),
+            resume_processing=True, pipe_pix="rgb24",
+            engine=_small_engine(),
         )
         process_file(str(src), **kw)
         full = open(out, "rb").read()
@@ -388,7 +427,8 @@ def test_copy_audio_muxes(fake_ffmpeg, tmp_path):
     res = process_file(
         str(src), output_file=out, ffmpeg=fake_ffmpeg, scale=2,
         temp_dir=str(tmp_path / "t"), synthetic_models=True,
-        precision="f32", copy_audio=True, engine=_small_engine(),
+        precision="f32", copy_audio=True, pipe_pix="rgb24",
+        engine=_small_engine(),
     )
     assert res.frames_processed == N
     data = open(out, "rb").read()
@@ -428,7 +468,8 @@ class TestOrchestrationRegressions:
         res = process_file(
             str(tmp_path / "movie.raw"), output_file=out, ffmpeg=fake_ffmpeg,
             scale=2, temp_dir=str(tmp_path / "t"), batch_size=-2,
-            synthetic_models=True, precision="f32", engine=_small_engine(),
+            synthetic_models=True, precision="f32", pipe_pix="rgb24",
+            engine=_small_engine(),
         )
         assert res.frames_processed == N
         assert os.path.getsize(out) == N * (2 * W) * (2 * H) * 3

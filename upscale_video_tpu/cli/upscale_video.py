@@ -57,13 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
              "per-frame files (needed before test-images/fix-frames).",
     )
     p.add_argument(
-        "--pipe_pix", choices=["rgb24", "yuv420p"], default="rgb24",
-        help="Stream-plane device contract: rgb24 (default, the encoder "
-             "converts — byte-identical input to the reference's) or "
-             "yuv420p (4:2:0 in AND out on the TPU: transport halves both "
-             "ways, no host/decoder/encoder colour conversion; assumes "
-             "studio-range video when decoding via ffmpeg — keep rgb24 "
-             "for full-range/jpeg-range sources).",
+        "--pipe_pix", choices=["auto", "rgb24", "yuv420p"], default="auto",
+        help="Stream-plane device contract: yuv420p (4:2:0 in AND out on "
+             "the TPU: transport halves both ways, no host/decoder/encoder "
+             "colour conversion) or rgb24 (the encoder converts — "
+             "byte-identical input to the reference's).  The default auto "
+             "picks yuv420p exactly when it is lossless for this run "
+             "(stream plane, even output geometry, 4:2:0 8-bit encode "
+             "target; under sp only with the planar contract) and rgb24 "
+             "otherwise; 4:4:4/10-bit SOURCES are never downsampled on "
+             "the decode side regardless.",
     )
     p.add_argument(
         "--copy_audio", action="store_true",

@@ -75,6 +75,7 @@ class PipelineResult:
     frames_processed: int
     elapsed_seconds: float
     frames_per_second: float
+    pipe_pix: str = "rgb24"  # the RESOLVED stream-plane contract
 
 
 def process_file(
@@ -103,7 +104,7 @@ def process_file(
     conv_impl: str = "auto",
     parallel_mode: str = "dp",
     copy_audio: bool = False,
-    pipe_pix: str = "rgb24",
+    pipe_pix: str = "auto",
     tta: bool = False,
     engine: Optional[ChainEngine] = None,
 ) -> Optional[PipelineResult]:
@@ -115,7 +116,9 @@ def process_file(
     (hardcoded 20 at :634), ``precision`` (bf16 MXU fast path vs f32),
     ``frames_per_step`` (on-chip batch), ``data_plane``, ``pipe_pix``
     (``yuv420p`` = the device emits 4:2:0 directly — half the
-    device->host bytes, no encoder-side swscale; ops/yuv.py).
+    device->host bytes, no encoder-side swscale; ops/yuv.py.  The
+    default ``auto`` picks yuv420p whenever that is lossless for this
+    run — see :func:`_auto_pipe_pix` — and rgb24 otherwise).
     """
     if scale not in VALID_SCALES:
         raise ValueError(f"scale must be one of {VALID_SCALES}")
@@ -183,6 +186,9 @@ def process_file(
 
     from upscale_video_tpu.utils.wake import keep_awake
 
+    if pipe_pix == "auto":
+        pipe_pix = _auto_pipe_pix(backend, engine, info, crop, data_plane)
+
     t0 = time.time()
     with keep_awake():  # reference holds wakepy for the whole job (:847)
         if data_plane == "png":
@@ -214,7 +220,42 @@ def process_file(
 
     if not resume_processing:
         shutil.rmtree(workdir)
-    return PipelineResult(output_file, processed, elapsed, fps)
+    return PipelineResult(output_file, processed, elapsed, fps,
+                          pipe_pix=pipe_pix)
+
+
+def _auto_pipe_pix(backend, engine, info, crop, data_plane) -> str:
+    """Resolve ``--pipe_pix auto``: pick the device-side 4:2:0 contract
+    (measured 1.60x sustained on a D2H-bound link, 1.55x host plane —
+    NOTES.md) whenever it is lossless versus the rgb24 path, else rgb24.
+
+    Every gate here mirrors a hard fallback the explicit ``yuv420p`` mode
+    already enforces downstream (_run_stream_plane / the backends); auto
+    just turns those fallbacks into the default policy, silently — a
+    policy choice is not a user-override worth warning about.  The decode
+    side keeps its own probed-pix_fmt gate (backend.open_source), so a
+    4:4:4/10-bit SOURCE is never downsampled on input regardless of what
+    auto picks for output.
+    """
+    src_h, src_w = backend.source_geometry(info, crop)
+    out_h, out_w = src_h * engine.scale, src_w * engine.scale
+    why = None
+    if data_plane != "stream":
+        why = "png plane encodes from RGB files"
+    elif out_h % 2 or out_w % 2:
+        why = f"odd output geometry {out_w}x{out_h}"
+    elif not backend.auto_yuv420(info):
+        why = "encode target is not 4:2:0 8-bit"
+    elif getattr(engine, "_mesh_mode", "dp") == "sp" and not (
+        engine.planar_scale and engine.planar_scale % 2 == 0
+    ):
+        why = "sp row-sharding needs the even planar contract"
+    if why is not None:
+        log.info("pipe_pix auto -> rgb24 (%s)", why)
+        return "rgb24"
+    log.info("pipe_pix auto -> yuv420p (4:2:0 device contract, "
+             "half the transfer bytes each way)")
+    return "yuv420p"
 
 
 def _mux_audio(ffmpeg, output_file, input_file) -> None:

@@ -82,6 +82,14 @@ class VideoBackend(ABC):
     #: interpreted as studio/limited range by default
     yuv_full_range = False
 
+    def auto_yuv420(self, info: Dict) -> bool:
+        """Whether the device-side 4:2:0 contract loses NOTHING versus
+        rgb24 for this backend's encode target (the ``--pipe_pix auto``
+        policy's backend gate).  True only when the final encode is
+        4:2:0 8-bit anyway, so converting on-device merely moves the
+        chroma subsample the encoder would perform off the host."""
+        return False
+
     def fragment_yuv420(self, workdir: str, batch: int) -> Optional[bool]:
         """Whether an EXISTING fragment was written under the 4:2:0
         contract, or None when unknowable/irrelevant (ffmpeg fragments are
@@ -118,6 +126,13 @@ class FfmpegBackend(VideoBackend):
 
     def probe(self, input_file, workdir):
         return ff.get_metadata(self.ffmpeg, input_file, cache_dir=workdir)
+
+    def auto_yuv420(self, info):
+        # the encode target decides: feeding I420 to a 4:2:0 8-bit encode
+        # skips the encoder-side swscale with zero information loss; a
+        # 10-bit/4:4:4/4:2:2 target (p010le, yuv444p, ...) gets more out
+        # of rgb24 input, so auto keeps it
+        return self.pix_fmt in ("yuv420p", "yuvj420p", "nv12")
 
     def crop_detect(self, input_file, duration, workdir):
         return ff.get_crop_detect(self.ffmpeg, input_file, duration, cache_dir=workdir)
@@ -180,6 +195,7 @@ class HermeticBackend(VideoBackend):
                 "merge-only, -t must be the PARENT of the 'upscale_video' "
                 "dir holding the upscale box's zips and metadata.json"
             )
+        pix_fmt = "rgb24"  # PNG-dir sources are RGB files
         if os.path.isdir(input_file):
             src = PngDirSource(input_file, tag="")
             # count only untagged frame files ({n}.png): stage artifacts
@@ -196,6 +212,14 @@ class HermeticBackend(VideoBackend):
         elif input_file.endswith(".y4m"):
             with Y4MSource(input_file) as src:
                 rate, w, h = src.frame_rate, src.width, src.height
+                # record the source's chroma class in ffprobe vocabulary
+                # so the --pipe_pix auto gate reads one field either way
+                pix_fmt = {"C420jpeg": "yuvj420p"}.get(
+                    src.colorspace,
+                    "yuv420p" if src.colorspace.startswith("C420")
+                    else "yuv444p" if src.colorspace.startswith("C444")
+                    else "yuv422p",
+                )
                 # count via header-line reads + seeks — read() would
                 # colour-convert every frame of the whole movie just to
                 # learn the count
@@ -214,6 +238,7 @@ class HermeticBackend(VideoBackend):
             "frame_rate_fraction": f"{rate.numerator}/{rate.denominator}",
             "width": w,
             "height": h,
+            "pix_fmt": pix_fmt,
             "format": {"filename": str(input_file)},
         }
         with open(cache, "w") as f:
@@ -241,6 +266,13 @@ class HermeticBackend(VideoBackend):
         return f"{batch}.{self.output_format}"
 
     yuv_full_range = True  # C420jpeg
+
+    def auto_yuv420(self, info):
+        # the hermetic sink's 4:2:0 mode writes C420jpeg where rgb24
+        # writes C444: only pick it when the SOURCE is already 4:2:0 —
+        # C444/PNG sources would be genuinely chroma-downsampled (an
+        # older cached metadata.json carries no pix_fmt -> keep rgb24)
+        return str(info.get("pix_fmt", "")) in ("yuv420p", "yuvj420p")
 
     def fragment_yuv420(self, workdir, batch):
         path = os.path.join(workdir, self.fragment_name(batch))
