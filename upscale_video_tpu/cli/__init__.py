@@ -9,6 +9,7 @@
 - ``vsr-compare``   (beyond reference)              — PSNR quality gate
 - ``vsr-finetune``  (beyond reference)              — fine-tune + export
 - ``vsr-import``    (beyond reference)              — torch .pth -> ncnn
+- ``vsr-warmup``    (beyond reference)              — pre-compile + cache
 
 Flag letters are preserved where they existed (-i -o -f -e -p -m -s -t -b
 -g -r -x -l -d, upscale_video.py:13-72); ``-f/--ffmpeg`` is now OPTIONAL —

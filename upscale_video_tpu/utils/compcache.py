@@ -52,3 +52,16 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     except Exception as e:  # unknown config name on an older jax, RO fs, ...
         log.debug("compilation cache not enabled: %s", e)
         return None
+
+
+def cache_dir_in_use() -> Optional[str]:
+    """The persistent cache dir a prior :func:`enable_compilation_cache`
+    put into effect, or None when disabled/unavailable."""
+    if not _DONE:
+        return None
+    try:
+        import jax
+
+        return jax.config.jax_compilation_cache_dir
+    except Exception:
+        return None
