@@ -70,7 +70,12 @@ class NullSink(FrameSink):
         pass
 
 
-def run(args, sink_kind):
+def _build_pipeline(args, sink_kind, chip: int):
+    """One stub-chip pipeline: source -> stepper -> transform -> sink.
+    The multi-chip-per-host deployment runs one of these per chip on a
+    shared host (each chip serving its own video/fragment — the -g
+    workflow shape); their host-side costs (queue hops, interleave/I420
+    assembly, sink encode) contend for the same cores."""
     h, w, s = args.height, args.width, args.scale
     n = args.frames
     yuv = getattr(args, "pipe_pix", "rgb24") == "yuv420p"
@@ -83,7 +88,7 @@ def run(args, sink_kind):
 
         from upscale_video_tpu.video.io import Y4MSink
 
-        path = ("/dev/shm/loadtest.y4m" if sink_kind == "shm"
+        path = (f"/dev/shm/loadtest{chip}.y4m" if sink_kind == "shm"
                 else "/dev/null")
         inner = Y4MSink(path, w * s, h * s, Fraction(24, 1),
                         colorspace="C420jpeg" if yuv else "C444")
@@ -112,32 +117,67 @@ def run(args, sink_kind):
     stub = lambda chunk: out  # noqa: E731
 
     stepper = BatchedStepper(stub, args.batch)
-    # untimed warmup: fault in the transform buffers + thread spin-up (the
-    # first config otherwise absorbs it and reads ~3x low)
-    for o in (list(stepper.feed(src.read())) or []) + list(stepper.flush()):
-        sink.write(o)
-    t0 = time.perf_counter()
+    return src, stepper, sink
+
+
+def _drive(src, stepper, sink) -> int:
+    """Pump one pipeline to exhaustion; returns frames written."""
     wrote = 0
-    while True:
-        f = src.read()
-        if f is None:
-            break
-        for o in stepper.feed(f):
+    try:
+        while True:
+            f = src.read()
+            if f is None:
+                break
+            for o in stepper.feed(f):
+                sink.write(o)
+                wrote += 1
+        for o in stepper.flush():
             sink.write(o)
             wrote += 1
-    for o in stepper.flush():
-        sink.write(o)
-        wrote += 1
-    sink.close()
-    src.close()
+    finally:
+        sink.close()
+        src.close()
+    return wrote
+
+
+def run(args, sink_kind):
+    import threading
+
+    h, w, s = args.height, args.width, args.scale
+    yuv = getattr(args, "pipe_pix", "rgb24") == "yuv420p"
+    chips = getattr(args, "chips", 1)
+
+    # untimed warmup pipeline: fault in transform buffers, thread spin-up,
+    # page-cache state (the first config otherwise absorbs it, ~3x low)
+    wsrc, wstep, wsink = _build_pipeline(args, sink_kind, chip=0)
+    for o in (list(wstep.feed(wsrc.read())) or []) + list(wstep.flush()):
+        wsink.write(o)
+    wsink.close()
+    wsrc.close()
+
+    pipes = [_build_pipeline(args, sink_kind, chip=c) for c in range(chips)]
+    wrote = [0] * chips
+    t0 = time.perf_counter()
+    if chips == 1:
+        wrote[0] = _drive(*pipes[0])
+    else:
+        ts = [threading.Thread(target=lambda i=i: wrote.__setitem__(
+                  i, _drive(*pipes[i])), daemon=True)
+              for i in range(chips)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
     dt = time.perf_counter() - t0
+    total = sum(wrote)
     print(
-        f"[{sink_kind}/{'yuv420p' if yuv else 'rgb24'}] "
-        f"{wrote} frames in {dt:.2f}s = "
-        f"{wrote/dt:.1f} fps host-plane ({h}x{w} -> {h*s}x{w*s})",
+        f"[{sink_kind}/{'yuv420p' if yuv else 'rgb24'}/chips={chips}] "
+        f"{total} frames in {dt:.2f}s = "
+        f"{total/dt:.1f} fps aggregate host-plane "
+        f"({total/dt/chips:.1f}/chip, {h}x{w} -> {h*s}x{w*s})",
         flush=True,
     )
-    return wrote / dt
+    return total / dt
 
 
 def main():
@@ -158,6 +198,10 @@ def main():
     p.add_argument("--sinks", default="null,y4m,shm")
     p.add_argument("--pipe_pix", choices=["rgb24", "yuv420p"],
                    default="rgb24")
+    p.add_argument("--chips", type=int, default=1,
+                   help="N concurrent stub-chip pipelines on this host "
+                        "(the multi-chip-per-host deployment shape); "
+                        "reports aggregate and per-chip fps.")
     args = p.parse_args()
     for kind in args.sinks.split(","):
         run(args, kind)

@@ -14,8 +14,13 @@ from upscale_video_tpu.utils.logsetup import setup_logging
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="vsr-finetune",
-        description="Fine-tune a Compact-family SR model on a video "
-                    "(self-supervised HR->LR pairs) and export ncnn files.",
+        description="Fine-tune an SR model on a video (self-supervised "
+                    "HR->LR pairs) and export ncnn files.  Any loadable "
+                    "ncnn SR model trains — the Compact family, the "
+                    "'r'-family RRDBNets (pass -m valar -s 4), and "
+                    "vsr-import conversions (-m <their stem suffix>): "
+                    "the trainer differentiates through the generic "
+                    "graph executor.",
     )
     p.add_argument(
         "-i", "--input", required=True,

@@ -1,5 +1,9 @@
-"""The ``vsr-finetune`` workflow: fine-tune a Compact-family SR model on a
-video (or PNG dir), checkpoint/resume, export back to ncnn files.
+"""The ``vsr-finetune`` workflow: fine-tune an SR model on a video (or
+PNG dir), checkpoint/resume, export back to ncnn files.  Any loadable
+ncnn SR model trains (Compact, the 'r'-family RRDBNets, vsr-import
+conversions): the trainer differentiates through the generic graph
+executor, so family support is whatever the executor runs
+(tests/test_finetune.py::test_finetune_rrdb_family).
 
 Beyond-reference capability (the reference ships frozen pretrained weights
 only — SURVEY.md §2.2); promised by PARITY.md and made reachable from the
