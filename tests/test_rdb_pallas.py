@@ -362,3 +362,39 @@ def test_tile_h_env_default(rng, monkeypatch):
         rdb_apply(x, ws, bs, tile_h=16, tile_w=24, interpret=True)
     )
     np.testing.assert_array_equal(explicit, overridden)
+
+
+def test_vmem_estimate_rejects_observed_oom_geometry():
+    """The round-4 hardware failure (th=56/tw=512 at 392x512: 129.7M of
+    128M VMEM after an 18-minute compile) must be over the estimator's
+    budget, while every measured-good config stays under it."""
+    from upscale_video_tpu.ops import rdb_pallas as rp
+
+    assert rp.est_vmem_bytes(56, 512) > rp.VMEM_LIMIT_BYTES
+    for th, tw in [(32, 512), (32, 256), (16, 24), (28, 512)]:
+        assert rp.est_vmem_bytes(th, tw) <= rp.VMEM_LIMIT_BYTES, (th, tw)
+
+
+def test_vmem_clamp_warns_and_matches(rng, monkeypatch):
+    """An over-budget tile_h is clamped down (with a warning) instead of
+    compiling into RESOURCE_EXHAUSTED; the clamped kernel's output equals
+    the explicitly-small-tile run."""
+    from upscale_video_tpu.ops import rdb_pallas as rp
+
+    # a shape no other test traces: the clamp runs at trace time, so a
+    # jit-cache hit on a previously-traced signature would skip it
+    x = jnp.asarray(rng.normal(0, 0.5, (32, 48, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    small = np.asarray(
+        rdb_apply(x, ws, bs, tile_h=8, tile_w=24, interpret=True)
+    )
+    # shrink the budget so th=16 estimates over it but th=8 fits (the
+    # kernel widens tw to the full 48-wide input)
+    lim = rp.est_vmem_bytes(8, 48)
+    monkeypatch.setattr(rp, "VMEM_LIMIT_BYTES", lim)
+    assert rp.est_vmem_bytes(16, 48) > lim
+    with pytest.warns(UserWarning, match="clamping tile_h to 8"):
+        clamped = np.asarray(
+            rdb_apply(x, ws, bs, tile_h=16, tile_w=24, interpret=True)
+        )
+    np.testing.assert_array_equal(small, clamped)

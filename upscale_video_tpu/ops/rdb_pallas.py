@@ -47,6 +47,26 @@ HALO = 5  # five 3x3 convs
 GC = 32   # ESRGAN growth channels
 NF = 64   # trunk feature width
 
+VMEM_LIMIT_BYTES = 110 * 1024 * 1024  # the pallas_call compiler budget
+
+
+def est_vmem_bytes(th: int, tw: int) -> int:
+    """Pre-compile VMEM estimate for one (th, tw) kernel tile.
+
+    Rejecting an over-budget geometry here costs microseconds; letting
+    Mosaic discover it costs ~18 minutes of compile before a permanent
+    RESOURCE_EXHAUSTED (observed round 4: th=56/tw=512 at 392x512 needed
+    129.7M of the chip's 128M VMEM — 14.7M double-buffered output window,
+    8.5M input scratch, 107M register-allocator spill slots).  The spill
+    term scales with the per-stage G1 im2col patch matrix
+    ((th+8)*(tw+8) x 576 bf16); the 2.5x factor is fit to that observed
+    failure while passing the measured-good th=32 configs.
+    """
+    out_window = th * tw * LANES * 2 * 2  # bf16, 2 buffering levels
+    scratch = (th + 2 * HALO) * (tw + 16) * LANES * 2
+    patches = (th + 8) * (tw + 8) * 576 * 2
+    return out_window + scratch + int(2.5 * patches)
+
 
 def pack_rdb_weights(ws: Sequence, bs: Sequence):
     """Per-source scatter weight concatenation for one RDB.
@@ -271,6 +291,18 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
     # budget: grid padding (e.g. 480 -> 2x256 = 512) is pure halo waste
     w8 = round_up(wid, 8)
     tw = w8 if w8 <= max(tile_w, 512) else min(tile_w, w8)
+    fit = th
+    while fit > 8 and est_vmem_bytes(fit, tw) > VMEM_LIMIT_BYTES:
+        fit -= 8
+    if fit != th:
+        warnings.warn(
+            f"RDB kernel tile {th}x{tw} estimated at "
+            f"{est_vmem_bytes(th, tw) / 2**20:.0f} MiB VMEM (budget "
+            f"{VMEM_LIMIT_BYTES / 2**20:.0f}) — clamping tile_h to {fit} "
+            "instead of a multi-minute compile into RESOURCE_EXHAUSTED",
+            stacklevel=2,
+        )
+        th = fit
     gy = -(-hgt // th)
     gx = -(-wid // tw)
     hp = gy * th + 2 * HALO
@@ -310,7 +342,7 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
     )(*wmats, *biases, wsk, bsk, buf)
