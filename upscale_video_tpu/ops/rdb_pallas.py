@@ -16,10 +16,9 @@ accumulators resident in a VMEM scratch, so no piece buffer, partial sum,
 or 32-lane activation ever reaches HBM.
 
 Geometry: overlap-and-discard.  The caller embeds the (H, W, 64) input at
-offset (5, 8) of a zero (Hp, Wp, 64) HBM buffer (5 = the RDB's receptive
+offset (5, 8) of a zero (Hp, Wp, 128) HBM buffer (5 = the RDB's receptive
 halo, 8 = lane-tile column alignment, zeros = conv zero padding at frame
-borders; 64 lanes in HBM — round 4 halved the round-3 128-lane layout,
-whose upper lanes were never read).  Each grid tile DMAs its haloed window and evaluates the five
+borders).  Each grid tile DMAs its haloed window and evaluates the five
 stages on statically shrinking regions (G1 = tile+8 ... G5 = tile), so
 border garbage from missing context never reaches the written center.
 
@@ -57,17 +56,16 @@ def est_vmem_bytes(th: int, tw: int) -> int:
     Rejecting an over-budget geometry here costs microseconds; letting
     Mosaic discover it costs ~18 minutes of compile before a permanent
     RESOURCE_EXHAUSTED (observed round 4: th=56/tw=512 at 392x512 needed
-    129.7M of the chip's 128M VMEM — double-buffered output window,
-    input scratch, and 107M of register-allocator spill slots).  The
-    spill term scales with the per-stage G1 im2col patch matrix
-    ((th+8)*(tw+8) x 576 bf16); the 2.8x factor is fit to that observed
-    failure (107M / 38.3M patch bytes) while passing the measured-good
-    th<=32 configs.
+    129.7M of the chip's 128M VMEM — 14.7M double-buffered output window,
+    8.5M input scratch, 107M register-allocator spill slots).  The spill
+    term scales with the per-stage G1 im2col patch matrix
+    ((th+8)*(tw+8) x 576 bf16); the 2.5x factor is fit to that observed
+    failure while passing the measured-good th=32 configs.
     """
-    out_window = th * tw * NF * 2 * 2  # bf16, 2 buffering levels
-    scratch = (th + 2 * HALO) * (tw + 16) * NF * 2
+    out_window = th * tw * LANES * 2 * 2  # bf16, 2 buffering levels
+    scratch = (th + 2 * HALO) * (tw + 16) * LANES * 2
     patches = (th + 8) * (tw + 8) * 576 * 2
-    return out_window + scratch + int(2.8 * patches)
+    return out_window + scratch + int(2.5 * patches)
 
 
 def pack_rdb_weights(ws: Sequence, bs: Sequence):
@@ -216,10 +214,11 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
     if act5:
         c5 = jnp.where(c5 >= 0, c5, c5 * slope)
     x_center = w[HALO : HALO + th, 8 : 8 + tw, :NF].astype(jnp.float32)
-    # HBM out is NF lanes (the canvas/out lanes beyond NF were never
-    # read/used — round-4 lane-width halving: ~2x less kernel DMA +
-    # call-site glue traffic than the 128-lane round-3 layout)
-    out_ref[:, :, :] = (x_center + res_scale * c5).astype(jnp.bfloat16)
+    y = (x_center + res_scale * c5).astype(jnp.bfloat16)
+    y = jnp.concatenate(
+        [y, jnp.zeros((th, tw, LANES - NF), jnp.bfloat16)], axis=-1
+    )
+    out_ref[:, :, :] = y
 
 
 def rdb_apply(
@@ -309,10 +308,10 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
     hp = gy * th + 2 * HALO
     wp = gx * tw + 16
 
-    buf = jnp.zeros((hp, wp, NF), jnp.bfloat16)
-    buf = jax.lax.dynamic_update_slice(
-        buf, x.astype(jnp.bfloat16), (HALO, 8, 0)
-    )
+    buf = jnp.zeros((hp, wp, LANES), jnp.bfloat16)
+    x128 = jnp.pad(x.astype(jnp.bfloat16),
+                   ((0, 0), (0, 0), (0, LANES - x.shape[-1])))
+    buf = jax.lax.dynamic_update_slice(buf, x128, (HALO, 8, 0))
 
     out = pl.pallas_call(
         functools.partial(
@@ -333,13 +332,13 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (th, tw, NF), lambda i, j: (i, j, 0),
+            (th, tw, LANES), lambda i, j: (i, j, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((gy * th, gx * tw, NF),
+        out_shape=jax.ShapeDtypeStruct((gy * th, gx * tw, LANES),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * HALO, tw + 16, NF), jnp.bfloat16),
+            pltpu.VMEM((th + 2 * HALO, tw + 16, LANES), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -347,4 +346,4 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
         ),
         interpret=interpret,
     )(*wmats, *biases, wsk, bsk, buf)
-    return out[:hgt, :wid]
+    return out[:hgt, :wid, :NF]
