@@ -364,6 +364,33 @@ def test_tile_h_env_default(rng, monkeypatch):
     np.testing.assert_array_equal(explicit, overridden)
 
 
+def test_auto_tile_h_exact_fit_policy():
+    """Default tile_h prefers the largest measured-good height dividing
+    the padded input exactly (round-4 hardware A/B at 392 rows: th=28 =
+    1.92 ms/RDB vs th=32's 2.62) and reproduces the 480px round-3 winner."""
+    from upscale_video_tpu.ops.rdb_pallas import auto_tile_h
+
+    assert auto_tile_h(392) == 28   # shipped 1080p tiled geometry (14x28)
+    assert auto_tile_h(480) == 32   # round-3 measured best at 480px
+    assert auto_tile_h(400) == 20
+    assert auto_tile_h(16) == 16
+    assert auto_tile_h(344) == 32   # no exact fit -> round-3 default
+
+
+def test_tile_h_env_auto_matches_explicit(rng, monkeypatch):
+    monkeypatch.setenv("UPSCALE_TPU_RDB_TILE_H", "auto")
+    x = jnp.asarray(rng.normal(0, 0.5, (32, 40, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    via_auto = np.asarray(rdb_apply(x, ws, bs, tile_w=24, interpret=True))
+    explicit = np.asarray(
+        rdb_apply(x, ws, bs, tile_h=32, tile_w=24, interpret=True)
+    )
+    np.testing.assert_array_equal(via_auto, explicit)
+    monkeypatch.setenv("UPSCALE_TPU_RDB_TILE_H", "banana")
+    with pytest.raises(ValueError, match="UPSCALE_TPU_RDB_TILE_H"):
+        rdb_apply(x, ws, bs, tile_w=24, interpret=True)
+
+
 def test_vmem_estimate_rejects_observed_oom_geometry():
     """The round-4 hardware failure (th=56/tw=512 at 392x512: 129.7M of
     128M VMEM after an 18-minute compile) must be over the estimator's

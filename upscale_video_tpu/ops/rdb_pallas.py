@@ -50,6 +50,24 @@ NF = 64   # trunk feature width
 VMEM_LIMIT_BYTES = 110 * 1024 * 1024  # the pallas_call compiler budget
 
 
+def auto_tile_h(h8: int) -> int:
+    """Default tile height for an ``h8``-row (8-aligned) kernel input:
+    the largest measured-good height that divides h8 EXACTLY, else 32.
+
+    Exact fit beats raw tile size on hardware: at the shipped 1080p tiled
+    geometry (392-row haloed tiles) th=28 (14x28 exact) measured
+    1.92 ms/RDB vs th=32's 2.62 (1.36x) — 392/32 pads the grid to 13x32 =
+    416 rows (6% waste) and takes the ragged-padding path Mosaic compiles
+    slower.  At 480px, 32 divides exactly and was the round-3 measured
+    best, which this policy reproduces.  th>=56 is VMEM-refuted
+    (est_vmem_bytes); 8/16 only matter for tiny inputs.
+    """
+    for cand in (32, 28, 24, 20, 16):
+        if h8 % cand == 0:
+            return cand
+    return 32
+
+
 def est_vmem_bytes(th: int, tw: int) -> int:
     """Pre-compile VMEM estimate for one (th, tw) kernel tile.
 
@@ -242,27 +260,33 @@ def rdb_apply(
     1x1 conv from x added into c2 post-activation (Conv_6/Add_7);
     ``add_c2_to_c4`` — re-add c2 into c4 (Add_14).
 
-    ``tile_h`` defaults to ``UPSCALE_TPU_RDB_TILE_H`` (else 32, the
-    measured round-3 default) so a geometry-specific winner from
-    tools/rdb_bench.py ships without a code change."""
+    ``tile_h`` defaults to ``UPSCALE_TPU_RDB_TILE_H`` (else the
+    :func:`auto_tile_h` exact-fit policy — the round-4 measured winner)
+    so a geometry-specific winner from tools/rdb_bench.py ships without
+    a code change; the env value ``auto`` selects the policy explicitly."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tile_h is None:
-        raw = os.environ.get("UPSCALE_TPU_RDB_TILE_H", "32")
-        try:
-            tile_h = int(raw)
-        except ValueError:
-            raise ValueError(
-                f"UPSCALE_TPU_RDB_TILE_H={raw!r} is not an integer"
-            ) from None
-        if tile_h < 1:
-            raise ValueError(
-                f"UPSCALE_TPU_RDB_TILE_H={tile_h} must be >= 1"
-            )
-        if tile_h % 8:
-            warnings.warn(
-                f"UPSCALE_TPU_RDB_TILE_H={tile_h} is not a multiple of 8 "
-                "(TPU sublane); expect padding waste", stacklevel=2)
+        raw = os.environ.get("UPSCALE_TPU_RDB_TILE_H", "auto")
+        if raw.strip().lower() == "auto":
+            tile_h = 0  # _rdb_run applies auto_tile_h once hgt is known
+        else:
+            try:
+                tile_h = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"UPSCALE_TPU_RDB_TILE_H={raw!r} is not an integer "
+                    "or 'auto'"
+                ) from None
+            if tile_h < 1:
+                raise ValueError(
+                    f"UPSCALE_TPU_RDB_TILE_H={tile_h} must be >= 1"
+                )
+            if tile_h % 8:
+                warnings.warn(
+                    f"UPSCALE_TPU_RDB_TILE_H={tile_h} is not a multiple "
+                    "of 8 (TPU sublane); expect padding waste",
+                    stacklevel=2)
     wmats, biases = pack_rdb_weights(ws, bs)
     has_skip = skip_w is not None
     if has_skip:
@@ -286,6 +310,8 @@ def rdb_apply(
 def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
              res_scale, has_skip, add_c2_to_c4, interpret):
     hgt, wid, _ = x.shape
+    if tile_h == 0:  # auto: exact-fit policy (see auto_tile_h)
+        tile_h = auto_tile_h(round_up(hgt, 8))
     th = min(tile_h, round_up(hgt, 8))
     # prefer a single tile column when the whole width fits the VMEM
     # budget: grid padding (e.g. 480 -> 2x256 = 512) is pure halo waste
