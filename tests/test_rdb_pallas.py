@@ -425,3 +425,78 @@ def test_vmem_clamp_warns_and_matches(rng, monkeypatch):
             rdb_apply(x, ws, bs, tile_h=16, tile_w=24, interpret=True)
         )
     np.testing.assert_array_equal(small, clamped)
+
+
+def test_canvas_chain_bit_matches_plain(rng):
+    """Canvas-resident chaining (embed once, N kernels canvas-to-canvas,
+    extract once) is bit-identical to N plain rdb_apply calls — the
+    executor's round-4 glue-elimination path."""
+    from upscale_video_tpu.ops.rdb_pallas import (
+        canvas_geometry, rdb_apply_canvas, rdb_canvas_embed,
+        rdb_canvas_extract,
+    )
+
+    h, w = 27, 41
+    geom = canvas_geometry(h, w, 16, 32)
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w, NF)), jnp.bfloat16)
+    ws1, bs1 = _make_rdb_weights(rng)
+    ws2, bs2 = _make_rdb_weights(rng)
+    skw = jnp.asarray(rng.normal(0, 0.05, (1, 1, NF, GC)), jnp.float32)
+    skb = jnp.asarray(rng.normal(0, 0.02, (GC,)), jnp.float32)
+    kw = dict(skip_w=skw, skip_b=skb, add_c2_to_c4=True)
+
+    a1 = rdb_apply(x, ws1, bs1, tile_h=16, tile_w=32, interpret=True, **kw)
+    a2 = rdb_apply(jnp.asarray(a1, jnp.bfloat16), ws2, bs2, tile_h=16,
+                   tile_w=32, interpret=True)
+
+    buf = rdb_canvas_embed(x, geom)
+    buf = rdb_apply_canvas(buf, ws1, bs1, geom, h, w, interpret=True, **kw)
+    buf = rdb_apply_canvas(buf, ws2, bs2, geom, h, w, interpret=True)
+    b2 = rdb_canvas_extract(buf, h, w)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def test_canvas_poisoned_ring_is_masked(rng):
+    """Everything outside the true-frame data region of an input canvas
+    (halo ring, grid padding, lanes 64..127) is dead: NaN-poisoning it
+    must not change the extracted center — the invariant that makes the
+    unwritten ring of a canvas-mode OUTPUT safe to chain."""
+    from upscale_video_tpu.ops.rdb_pallas import (
+        HALO, canvas_geometry, rdb_apply_canvas, rdb_canvas_embed,
+        rdb_canvas_extract,
+    )
+
+    h, w = 27, 41
+    geom = canvas_geometry(h, w, 16, 32)
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w, NF)), jnp.bfloat16)
+    ws, bs = _make_rdb_weights(rng)
+    buf = np.asarray(rdb_canvas_embed(x, geom)).copy()
+    pois = buf.copy()
+    mask = np.zeros_like(pois, dtype=bool)
+    mask[HALO:HALO + h, 8:8 + w, :NF] = True
+    pois[~mask] = np.nan
+    a = np.asarray(rdb_canvas_extract(rdb_apply_canvas(
+        jnp.asarray(buf), ws, bs, geom, h, w, interpret=True), h, w))
+    b = np.asarray(rdb_canvas_extract(rdb_apply_canvas(
+        jnp.asarray(pois), ws, bs, geom, h, w, interpret=True), h, w))
+    assert np.isfinite(b.astype(np.float32)).all()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_executor_canvas_chain_multi_rrdb(rng):
+    """Two RRDBs: the combine Eltwise's canvas must feed the next RRDB's
+    first RDB straight from the cache (one embed for the whole trunk),
+    and the result still matches the XLA scatter path."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import build_forward
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = make_rrdb_graph(scale=4, num_rrdb=2)
+    params = synthesize_weights(g, seed=1)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 18, 22, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=0.06)

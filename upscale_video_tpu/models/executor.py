@@ -1218,6 +1218,12 @@ def build_forward(
         blobs: Dict[str, jnp.ndarray] = {input_blobs[0]: x.astype(compute_dtype)}
         # dense-scatter state: per-target lists of partial contributions
         piece_bufs: Dict[str, List[jnp.ndarray]] = {}
+        # canvas-resident RDB chaining (round 4): id(plain tracer) ->
+        # (plain tracer, canvas, geom).  Pinning the plain tracer keeps
+        # its id unique for the lifetime of the cache; a consumer that
+        # stays on the canvas leaves the plain extract dead, and XLA DCE
+        # removes it from the compiled program.
+        canvas_cache: Dict[int, tuple] = {}
 
         def _run_scatter(blob: str) -> None:
             """If ``blob`` is a dense-block source, compute its contribution
@@ -1274,11 +1280,24 @@ def build_forward(
                 continue  # PReLU fused into the preceding Pallas conv
             if layer.name in rdb_triggers:
                 # fused RDB: the whole dense block in one pallas_call per
-                # frame (HBM operands cannot be vmapped)
-                from upscale_video_tpu.ops.rdb_pallas import rdb_apply
+                # frame (HBM operands cannot be vmapped).  Consecutive
+                # RDBs chain canvas-to-canvas (round 4): the per-call
+                # zeros+embed+slice XLA glue (~19 ms of the 204 ms 480px
+                # Valar tile, round-4 profile) only runs when a block's
+                # input was produced outside the chain; the RRDB combine
+                # Eltwises propagate canvases below, so a whole 23-RRDB
+                # trunk embeds exactly once.
+                from upscale_video_tpu.ops.rdb_pallas import (
+                    canvas_geometry, rdb_apply_canvas, rdb_canvas_embed,
+                    rdb_canvas_extract, resolve_tile_h)
 
                 block = rdb_triggers[layer.name]
                 x_val = blobs[layer.inputs[1]]  # the residual-skip alias
+                h_in, w_in = int(x_val.shape[1]), int(x_val.shape[2])
+                geom = canvas_geometry(h_in, w_in, resolve_tile_h(None))
+                hit = canvas_cache.get(id(x_val))
+                bufs = (hit[1] if hit is not None and hit[2] == geom
+                        else rdb_canvas_embed(x_val, geom))
                 ws, bs_ = [], []
                 for name in block["convs"]:
                     p = params[name]
@@ -1288,15 +1307,19 @@ def build_forward(
                                      jnp.zeros((w.shape[-1],), jnp.float32)))
                 sp = params[block["skip_conv"]]
                 interp = jax.default_backend() != "tpu"
-                y = jnp.stack([
-                    rdb_apply(
-                        x_val[n], ws, bs_, slope=block["slope"],
+                out_bufs = jnp.stack([
+                    rdb_apply_canvas(
+                        bufs[n], ws, bs_, geom, h_in, w_in,
+                        slope=block["slope"],
                         skip_w=sp["weight"], skip_b=sp.get("bias"),
                         add_c2_to_c4=True, interpret=interp,
                     )
                     for n in range(x_val.shape[0])
                 ])
-                blobs[block["out"]] = y.astype(compute_dtype)
+                y = rdb_canvas_extract(out_bufs, h_in, w_in)
+                y = y.astype(compute_dtype)
+                blobs[block["out"]] = y
+                canvas_cache[id(y)] = (y, out_bufs, geom)
                 _run_scatter(block["out"])
                 for b in layer.inputs:
                     if last_use.get(b) == i and b in blobs:
@@ -1360,6 +1383,43 @@ def build_forward(
                         and b_in in blobs and b_in != plan["out"]:
                     del blobs[b_in]
                 continue
+            if (layer.type == "Eltwise" and layer.attr_i(0, 0) == 1
+                    and len(layer.inputs) >= 2 and canvas_cache):
+                # canvas propagation through Eltwise sums (the ESRGAN
+                # RRDB combine, 0.2*a + b): when every operand has a
+                # live canvas on the same grid, combine the CANVASES —
+                # elementwise ops commute with the center extract, so
+                # the plain value is bit-identical to _op_eltwise on the
+                # extracts, and the downstream RDB chain stays unbroken
+                # (ring/grid-pad garbage is masked by every consumer).
+                hits = [canvas_cache.get(id(blobs[b]))
+                        for b in layer.inputs]
+                if (all(h_ is not None for h_ in hits)
+                        and len({h_[2] for h_ in hits}) == 1):
+                    from upscale_video_tpu.ops.rdb_pallas import (
+                        rdb_canvas_extract)
+
+                    coeffs = layer.attr(1, [])
+                    cb = [h_[1] for h_ in hits]
+                    if coeffs:
+                        ob = cb[0] * jnp.asarray(coeffs[0], cb[0].dtype)
+                        for t_, c_ in zip(cb[1:], coeffs[1:]):
+                            ob = ob + t_ * jnp.asarray(c_, t_.dtype)
+                    else:
+                        ob = cb[0]
+                        for t_ in cb[1:]:
+                            ob = ob + t_
+                    ref = blobs[layer.inputs[0]]
+                    h_in, w_in = int(ref.shape[1]), int(ref.shape[2])
+                    y = rdb_canvas_extract(ob, h_in, w_in)
+                    y = y.astype(compute_dtype)
+                    blobs[layer.outputs[0]] = y
+                    canvas_cache[id(y)] = (y, ob, hits[0][2])
+                    _run_scatter(layer.outputs[0])
+                    for b in layer.inputs:
+                        if last_use.get(b) == i and b in blobs:
+                            del blobs[b]
+                    continue
             ins = [blobs[b] for b in layer.inputs]
             p = params.get(layer.name, {})
             out = OP_REGISTRY[layer.type](layer, ins, p, compute_dtype)

@@ -114,9 +114,11 @@ def pack_rdb_weights(ws: Sequence, bs: Sequence):
 
 
 def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
-                x_hbm, out_ref, win, sem, *, th: int, tw: int,
+                x_hbm, out_ref, win, sem, *scratch, th: int, tw: int,
                 slope: float, act5: bool, res_scale: float, valid_h: int,
-                valid_w: int, has_skip: bool, add_c2_to_c4: bool):
+                valid_w: int, has_skip: bool, add_c2_to_c4: bool,
+                canvas_out: bool = False):
+    yout, osem = scratch if canvas_out else (None, None)
     i = pl.program_id(0)
     j = pl.program_id(1)
     win_w = tw + 16
@@ -128,6 +130,18 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
     dma.start()
     dma.wait()
     w = win[:, :, :]
+    if canvas_out:
+        # canvas-resident chaining (round 4): the input canvas's ring and
+        # grid-padding hold the PREVIOUS kernel's unwritten garbage, not
+        # zeros — mask the window to the true frame so it stands in for
+        # the reference's conv zero padding exactly as the embed path's
+        # zeros did.  Window (r, c) is data (i*th + r - 5, j*tw + c - 8).
+        wr = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+              + (i * th - HALO))
+        wc = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+              + (j * tw - 8))
+        ok = (wr >= 0) & (wr < valid_h) & (wc >= 0) & (wc < valid_w)
+        w = jnp.where(ok, w, jnp.zeros_like(w))
 
     wmats = (wx, w1, w2, w3, w4)
     biases = (b1, b2, b3, b4, b5)
@@ -166,6 +180,26 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             total = piece if total is None else total + piece
         return total
 
+    # frame mask, once per tile: the reference zero-pads EVERY
+    # intermediate feature map at frame borders (each ncnn conv is
+    # SAME-padded; the window halo only stands in for interior tile
+    # boundaries).  G1 (g, h) is data (i*th + g - 4, j*tw + h - 4).
+    # The per-stage G_s ring mask the round-3 kernel also applied is
+    # redundant: a stage's garbage ring (positions with missing halo
+    # context) only ever influences values OUTSIDE the next stage's
+    # needed region, and the final center read (G5) touches valid data
+    # exclusively — dropping it is bit-neutral on the written center
+    # (tests/test_rdb_pallas.py) and deletes 5 iota/compare/select
+    # passes per tile.  Built at full 3D shape (every masked stage is
+    # GC-wide) — Mosaic rejects inserting a minor dim onto a 2D mask.
+    shape3 = (g1h, g1w, GC)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+            + (pl.program_id(0) * th - 4))
+    cols = (jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+            + (pl.program_id(1) * tw - 4))
+    frame_ok = ((rows >= 0) & (rows < valid_h)
+                & (cols >= 0) & (cols < valid_w))
+
     c2_keep = None  # post-skip c2, re-added into c4 (Valar Add_14)
     for s in range(5):
         if s == 0:
@@ -189,24 +223,7 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             if s == 4 and add_c2_to_c4:
                 # Valar Add_14: c4 = lrelu(conv12) + c2 (post-skip value)
                 val = val + c2_keep
-            # mask to (a) the true frame — the reference zero-pads EVERY
-            # intermediate feature map at frame borders (each ncnn conv is
-            # SAME-padded; the window halo only stands in for interior
-            # tile boundaries) — and (b) the source's own valid G_s
-            # subregion (outside it the accumulated value is garbage).
-            # G1 (g, h) is data (i*th + g - 4, j*tw + h - 4).
-            shape3 = (g1h, g1w, wdt)
-            g_r = jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
-            g_c = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
-            rows = g_r + (pl.program_id(0) * th - 4)
-            cols = g_c + (pl.program_id(1) * tw - 4)
-            lo, hi_r, hi_c = s - 1, g1h - (s - 1), g1w - (s - 1)
-            inside = (
-                (rows >= 0) & (rows < valid_h) & (cols >= 0)
-                & (cols < valid_w)
-                & (g_r >= lo) & (g_r < hi_r) & (g_c >= lo) & (g_c < hi_c)
-            )
-            val = jnp.where(inside, val, jnp.zeros_like(val))
+            val = jnp.where(frame_ok, val, jnp.zeros_like(val))
             if s == 2:
                 c2_keep = val
             # place the G1-grid source back into window coords (zero
@@ -236,7 +253,19 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
     y = jnp.concatenate(
         [y, jnp.zeros((th, tw, LANES - NF), jnp.bfloat16)], axis=-1
     )
-    out_ref[:, :, :] = y
+    if canvas_out:
+        # write only the tile center of the output canvas; the ring and
+        # grid padding stay unwritten (every downstream read masks them)
+        yout[:, :, :] = y
+        odma = pltpu.make_async_copy(
+            yout,
+            out_ref.at[pl.ds(HALO + i * th, th), pl.ds(8 + j * tw, tw), :],
+            osem,
+        )
+        odma.start()
+        odma.wait()
+    else:
+        out_ref[:, :, :] = y
 
 
 def rdb_apply(
@@ -266,27 +295,7 @@ def rdb_apply(
     a code change; the env value ``auto`` selects the policy explicitly."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if tile_h is None:
-        raw = os.environ.get("UPSCALE_TPU_RDB_TILE_H", "auto")
-        if raw.strip().lower() == "auto":
-            tile_h = 0  # _rdb_run applies auto_tile_h once hgt is known
-        else:
-            try:
-                tile_h = int(raw)
-            except ValueError:
-                raise ValueError(
-                    f"UPSCALE_TPU_RDB_TILE_H={raw!r} is not an integer "
-                    "or 'auto'"
-                ) from None
-            if tile_h < 1:
-                raise ValueError(
-                    f"UPSCALE_TPU_RDB_TILE_H={tile_h} must be >= 1"
-                )
-            if tile_h % 8:
-                warnings.warn(
-                    f"UPSCALE_TPU_RDB_TILE_H={tile_h} is not a multiple "
-                    "of 8 (TPU sublane); expect padding waste",
-                    stacklevel=2)
+    tile_h = resolve_tile_h(tile_h)
     wmats, biases = pack_rdb_weights(ws, bs)
     has_skip = skip_w is not None
     if has_skip:
@@ -302,14 +311,39 @@ def rdb_apply(
                     add_c2_to_c4, interpret)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_h", "tile_w", "slope", "act5", "res_scale",
-                     "has_skip", "add_c2_to_c4", "interpret"),
-)
-def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
-             res_scale, has_skip, add_c2_to_c4, interpret):
-    hgt, wid, _ = x.shape
+def resolve_tile_h(tile_h: Optional[int]) -> int:
+    """Resolve an explicit/None tile height against the
+    ``UPSCALE_TPU_RDB_TILE_H`` env knob: returns 0 for the
+    :func:`auto_tile_h` policy or a validated explicit height."""
+    if tile_h is not None:
+        return tile_h
+    raw = os.environ.get("UPSCALE_TPU_RDB_TILE_H", "auto")
+    if raw.strip().lower() == "auto":
+        return 0  # geometry resolution applies auto_tile_h
+    try:
+        tile_h = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"UPSCALE_TPU_RDB_TILE_H={raw!r} is not an integer or 'auto'"
+        ) from None
+    if tile_h < 1:
+        raise ValueError(f"UPSCALE_TPU_RDB_TILE_H={tile_h} must be >= 1")
+    if tile_h % 8:
+        warnings.warn(
+            f"UPSCALE_TPU_RDB_TILE_H={tile_h} is not a multiple "
+            "of 8 (TPU sublane); expect padding waste",
+            stacklevel=2)
+    return tile_h
+
+
+def canvas_geometry(hgt: int, wid: int, tile_h: int = 0,
+                    tile_w: int = 256):
+    """Resolve the kernel grid for an (hgt, wid) image: returns
+    ``(th, tw, gy, gx, hp, wp)``.  ``tile_h=0`` selects the
+    :func:`auto_tile_h` exact-fit policy; the VMEM pre-estimate clamps
+    over-budget heights (see :func:`est_vmem_bytes`).  A canvas chain
+    must use ONE geometry for every kernel in the chain — callers
+    compute it once from the model input shape."""
     if tile_h == 0:  # auto: exact-fit policy (see auto_tile_h)
         tile_h = auto_tile_h(round_up(hgt, 8))
     th = min(tile_h, round_up(hgt, 8))
@@ -331,8 +365,122 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
         th = fit
     gy = -(-hgt // th)
     gx = -(-wid // tw)
-    hp = gy * th + 2 * HALO
-    wp = gx * tw + 16
+    return th, tw, gy, gx, gy * th + 2 * HALO, gx * tw + 16
+
+
+def rdb_canvas_embed(x: jnp.ndarray, geom) -> jnp.ndarray:
+    """Embed an (H, W, 64) image at offset (HALO, 8) of a zero
+    (hp, wp, 128) bf16 canvas (the kernel's HBM input layout).  Plain
+    XLA; batched inputs welcome."""
+    *lead, hgt, wid, c = x.shape
+    th, tw, gy, gx, hp, wp = geom
+    buf = jnp.zeros((*lead, hp, wp, LANES), jnp.bfloat16)
+    x128 = jnp.pad(
+        x.astype(jnp.bfloat16),
+        [(0, 0)] * len(lead) + [(0, 0), (0, 0), (0, LANES - c)],
+    )
+    at = tuple([0] * len(lead)) + (HALO, 8, 0)
+    return jax.lax.dynamic_update_slice(buf, x128, at)
+
+
+def rdb_canvas_extract(buf: jnp.ndarray, hgt: int, wid: int) -> jnp.ndarray:
+    """Slice the (H, W, 64) image back out of a canvas.  Plain XLA (a
+    dead extract is DCE'd when the consumer stayed on the canvas)."""
+    return buf[..., HALO : HALO + hgt, 8 : 8 + wid, :NF]
+
+
+def rdb_apply_canvas(
+    buf: jnp.ndarray,
+    ws: Sequence,
+    bs: Sequence,
+    geom,
+    hgt: int,
+    wid: int,
+    slope: float = 0.2,
+    act5: bool = False,
+    res_scale: float = 0.2,
+    skip_w=None,
+    skip_b=None,
+    add_c2_to_c4: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """One fused RDB, canvas to canvas: reads an (hp, wp, 128) bf16
+    canvas (see :func:`rdb_canvas_embed`), returns a NEW canvas whose
+    tile centers hold the RDB output — the ring and grid padding are
+    left unwritten (garbage), which is safe because every canvas
+    consumer (this kernel's in-window frame mask, the center-only
+    extract, center-preserving eltwise combines) ignores them.  Chaining
+    RDBs canvas-to-canvas deletes the per-call zeros+embed+slice XLA
+    glue the plain :func:`rdb_apply` pays (~19 ms of the 204 ms 480px
+    Valar tile, round-4 profile).  ``geom`` must come from
+    :func:`canvas_geometry` for the same (hgt, wid)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wmats, biases = pack_rdb_weights(ws, bs)
+    has_skip = skip_w is not None
+    if has_skip:
+        wsk = jnp.asarray(skip_w, jnp.float32).reshape(NF, GC)
+        wsk = wsk.astype(jnp.bfloat16)
+        bsk = (jnp.asarray(skip_b, jnp.float32).reshape(1, GC)
+               if skip_b is not None else jnp.zeros((1, GC), jnp.float32))
+    else:
+        wsk = jnp.zeros((NF, GC), jnp.bfloat16)
+        bsk = jnp.zeros((1, GC), jnp.float32)
+    return _rdb_run_canvas(
+        buf, tuple(wmats), tuple(biases), wsk, bsk, tuple(geom), hgt, wid,
+        slope, act5, res_scale, has_skip, add_c2_to_c4, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "hgt", "wid", "slope", "act5", "res_scale",
+                     "has_skip", "add_c2_to_c4", "interpret"),
+)
+def _rdb_run_canvas(buf, wmats, biases, wsk, bsk, geom, hgt, wid, slope,
+                    act5, res_scale, has_skip, add_c2_to_c4, interpret):
+    th, tw, gy, gx, hp, wp = geom
+    return pl.pallas_call(
+        functools.partial(
+            _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
+            res_scale=res_scale, valid_h=hgt, valid_w=wid,
+            has_skip=has_skip, add_c2_to_c4=add_c2_to_c4, canvas_out=True,
+        ),
+        grid=(gy, gx),
+        in_specs=[
+            *[pl.BlockSpec(wm.shape, lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM) for wm in wmats],
+            *[pl.BlockSpec(b.shape, lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM) for b in biases],
+            pl.BlockSpec(wsk.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bsk.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp, LANES), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * HALO, tw + 16, LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((th, tw, LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(*wmats, *biases, wsk, bsk, buf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "slope", "act5", "res_scale",
+                     "has_skip", "add_c2_to_c4", "interpret"),
+)
+def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
+             res_scale, has_skip, add_c2_to_c4, interpret):
+    hgt, wid, _ = x.shape
+    th, tw, gy, gx, hp, wp = canvas_geometry(hgt, wid, tile_h, tile_w)
 
     buf = jnp.zeros((hp, wp, LANES), jnp.bfloat16)
     x128 = jnp.pad(x.astype(jnp.bfloat16),
