@@ -500,3 +500,47 @@ def test_executor_canvas_chain_multi_rrdb(rng):
     b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=0.06)
+
+
+def test_fused_res_combine_bit_matches_separate(rng):
+    """comb_self*rdb(buf) + comb_res*res fused into the kernel epilogue
+    is bit-identical to the canvas kernel followed by the executor's
+    canvas-eltwise arithmetic (per-operand bf16 product rounding)."""
+    from upscale_video_tpu.ops.rdb_pallas import (
+        canvas_geometry, rdb_apply_canvas, rdb_canvas_embed,
+        rdb_canvas_extract,
+    )
+
+    h, w = 27, 41
+    geom = canvas_geometry(h, w, 16, 32)
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w, NF)), jnp.bfloat16)
+    ws, bs = _make_rdb_weights(rng)
+    buf = rdb_canvas_embed(x, geom)
+    res = rdb_canvas_embed(
+        jnp.asarray(rng.normal(0, 0.5, (h, w, NF)), jnp.bfloat16), geom)
+
+    sep = rdb_apply_canvas(buf, ws, bs, geom, h, w, interpret=True)
+    sep = sep * jnp.bfloat16(0.2) + res * jnp.bfloat16(1.0)
+    fus = rdb_apply_canvas(buf, ws, bs, geom, h, w, interpret=True,
+                           res_canvas=res, comb_self=0.2, comb_res=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(rdb_canvas_extract(sep, h, w)),
+        np.asarray(rdb_canvas_extract(fus, h, w)))
+
+
+def test_executor_fuses_rrdb_combine(rng):
+    """The executor's lookahead folds the RRDB combine Eltwise into the
+    third RDB kernel (sole-consumer, live canvas, sum op) and the result
+    still matches the XLA path."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import build_forward
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = make_rrdb_graph(scale=4, num_rrdb=1)
+    params = synthesize_weights(g, seed=3)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 14, 19, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    np.testing.assert_allclose(a, b, atol=0.06)

@@ -1224,6 +1224,7 @@ def build_forward(
         # stays on the canvas leaves the plain extract dead, and XLA DCE
         # removes it from the compiled program.
         canvas_cache: Dict[int, tuple] = {}
+        fused_eltwise: set = set()  # combines folded into RDB epilogues
 
         def _run_scatter(blob: str) -> None:
             """If ``blob`` is a dense-block source, compute its contribution
@@ -1298,6 +1299,30 @@ def build_forward(
                 hit = canvas_cache.get(id(x_val))
                 bufs = (hit[1] if hit is not None and hit[2] == geom
                         else rdb_canvas_embed(x_val, geom))
+                # lookahead: if this block's SOLE consumer is a 2-input
+                # sum Eltwise whose other operand has a live canvas on
+                # the same grid (the ESRGAN RRDB combine, 0.2*r3 + in),
+                # fuse the combine into the kernel epilogue — the whole
+                # read-2/write-1 canvas pass disappears.
+                fuse_next = None  # (layer_idx, eltwise layer, res canvases, comb_self, comb_res)
+                cons = consumers_map.get(block["out"], [])
+                if len(cons) == 1:
+                    nxt = graph.layers[cons[0]]
+                    if (nxt.type == "Eltwise" and nxt.attr_i(0, 0) == 1
+                            and len(nxt.inputs) == 2
+                            and nxt.name not in rdb_triggers):
+                        pos = nxt.inputs.index(block["out"])
+                        other = nxt.inputs[1 - pos]
+                        hit2 = (canvas_cache.get(id(blobs[other]))
+                                if other in blobs else None)
+                        cf = list(nxt.attr(1, []))
+                        if len(cf) < 2:
+                            cf = [1.0, 1.0]
+                        if hit2 is not None and hit2[2] == geom \
+                                and cf[1 - pos] != 0.0:
+                            fuse_next = (cons[0], nxt, hit2[1],
+                                         float(cf[pos]),
+                                         float(cf[1 - pos]))
                 ws, bs_ = [], []
                 for name in block["convs"]:
                     p = params[name]
@@ -1307,20 +1332,38 @@ def build_forward(
                                      jnp.zeros((w.shape[-1],), jnp.float32)))
                 sp = params[block["skip_conv"]]
                 interp = jax.default_backend() != "tpu"
+                res_kw = {}
+                if fuse_next is not None:
+                    res_kw = dict(comb_self=fuse_next[3],
+                                  comb_res=fuse_next[4])
                 out_bufs = jnp.stack([
                     rdb_apply_canvas(
                         bufs[n], ws, bs_, geom, h_in, w_in,
                         slope=block["slope"],
                         skip_w=sp["weight"], skip_b=sp.get("bias"),
                         add_c2_to_c4=True, interpret=interp,
+                        res_canvas=(fuse_next[2][n]
+                                    if fuse_next is not None else None),
+                        **res_kw,
                     )
                     for n in range(x_val.shape[0])
                 ])
                 y = rdb_canvas_extract(out_bufs, h_in, w_in)
                 y = y.astype(compute_dtype)
-                blobs[block["out"]] = y
+                out_blob = (fuse_next[1].outputs[0] if fuse_next is not None
+                            else block["out"])
+                blobs[out_blob] = y
                 canvas_cache[id(y)] = (y, out_bufs, geom)
-                _run_scatter(block["out"])
+                _run_scatter(out_blob)
+                if fuse_next is not None:
+                    fused_eltwise.add(fuse_next[1].name)
+                for b in layer.inputs:
+                    if last_use.get(b) == i and b in blobs:
+                        del blobs[b]
+                continue
+            if layer.name in fused_eltwise:
+                # RRDB combine fused into the preceding RDB kernel's
+                # epilogue: output blob already set at the trigger site
                 for b in layer.inputs:
                     if last_use.get(b) == i and b in blobs:
                         del blobs[b]

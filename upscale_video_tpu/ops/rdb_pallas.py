@@ -114,11 +114,21 @@ def pack_rdb_weights(ws: Sequence, bs: Sequence):
 
 
 def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
-                x_hbm, out_ref, win, sem, *scratch, th: int, tw: int,
+                x_hbm, *rest, th: int, tw: int,
                 slope: float, act5: bool, res_scale: float, valid_h: int,
                 valid_w: int, has_skip: bool, add_c2_to_c4: bool,
-                canvas_out: bool = False):
-    yout, osem = scratch if canvas_out else (None, None)
+                canvas_out: bool = False, comb_self: float = 1.0,
+                comb_res: float = 0.0):
+    has_res = comb_res != 0.0
+    if canvas_out:
+        if has_res:
+            res_hbm, out_ref, win, sem, yout, osem, rbuf, rsem = rest
+        else:
+            out_ref, win, sem, yout, osem = rest
+            res_hbm = rbuf = rsem = None
+    else:
+        out_ref, win, sem = rest
+        res_hbm = yout = osem = rbuf = rsem = None
     i = pl.program_id(0)
     j = pl.program_id(1)
     win_w = tw + 16
@@ -128,20 +138,52 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
         win, sem,
     )
     dma.start()
+    if has_res:
+        # prefetch the residual's tile center while the window lands
+        rdma = pltpu.make_async_copy(
+            res_hbm.at[pl.ds(HALO + i * th, th), pl.ds(8 + j * tw, tw), :],
+            rbuf, rsem,
+        )
+        rdma.start()
     dma.wait()
-    w = win[:, :, :]
     if canvas_out:
         # canvas-resident chaining (round 4): the input canvas's ring and
         # grid-padding hold the PREVIOUS kernel's unwritten garbage, not
-        # zeros — mask the window to the true frame so it stands in for
-        # the reference's conv zero padding exactly as the embed path's
-        # zeros did.  Window (r, c) is data (i*th + r - 5, j*tw + c - 8).
-        wr = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
-              + (i * th - HALO))
-        wc = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-              + (j * tw - 8))
-        ok = (wr >= 0) & (wr < valid_h) & (wc >= 0) & (wc < valid_w)
-        w = jnp.where(ok, w, jnp.zeros_like(w))
+        # zeros — zero the window strips that fall outside the true frame
+        # so they stand in for the reference's conv zero padding exactly
+        # as the embed path's zeros did.  Window (r, c) is data
+        # (i*th + r - 5, j*tw + c - 8).  Only frame-edge tiles pay: four
+        # predicated static-slice stores replace the full-window
+        # iota/compare/select of the first canvas kernel, whose VPU cost
+        # (2.6M elements x 128 lanes) ate the glue it saved (measured
+        # 2.451 vs 2.218 ms/RDB plain — .hwlogs round-4 A/B).
+        gy = -(-valid_h // th)
+        gx = -(-valid_w // tw)
+        win_h = th + 2 * HALO
+        rem_h = HALO + valid_h - (gy - 1) * th
+        rem_w = 8 + valid_w - (gx - 1) * tw
+
+        @pl.when(i == 0)
+        def _zero_top():
+            win[0:HALO, :, :] = jnp.zeros((HALO, win_w, LANES), jnp.bfloat16)
+
+        if rem_h < win_h:
+            @pl.when(i == gy - 1)
+            def _zero_bottom():
+                win[rem_h:, :, :] = jnp.zeros(
+                    (win_h - rem_h, win_w, LANES), jnp.bfloat16)
+
+        @pl.when(j == 0)
+        def _zero_left():
+            win[:, 0:8, :] = jnp.zeros((win_h, 8, LANES), jnp.bfloat16)
+
+        if rem_w < win_w:
+            @pl.when(j == gx - 1)
+            def _zero_right():
+                win[:, rem_w:, :] = jnp.zeros(
+                    (win_h, win_w - rem_w, LANES), jnp.bfloat16)
+
+    w = win[:, :, :]
 
     wmats = (wx, w1, w2, w3, w4)
     biases = (b1, b2, b3, b4, b5)
@@ -250,6 +292,15 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
         c5 = jnp.where(c5 >= 0, c5, c5 * slope)
     x_center = w[HALO : HALO + th, 8 : 8 + tw, :NF].astype(jnp.float32)
     y = (x_center + res_scale * c5).astype(jnp.bfloat16)
+    if has_res:
+        # fused residual combine (the ESRGAN RRDB Eltwise, e.g.
+        # 0.2*rdb3 + 1.0*rrdb_in): one bf16 multiply-add on the tile
+        # center — bit-identical to the executor's canvas-eltwise branch
+        # (per-operand bf16 product rounding, commutative sum) while
+        # deleting a whole read-2/write-1 canvas pass per RRDB.
+        rdma.wait()
+        r = rbuf[:, :, :NF]
+        y = (y * jnp.bfloat16(comb_self) + r * jnp.bfloat16(comb_res))
     y = jnp.concatenate(
         [y, jnp.zeros((th, tw, LANES - NF), jnp.bfloat16)], axis=-1
     )
@@ -403,17 +454,25 @@ def rdb_apply_canvas(
     skip_b=None,
     add_c2_to_c4: bool = False,
     interpret: Optional[bool] = None,
+    res_canvas: Optional[jnp.ndarray] = None,
+    comb_self: float = 1.0,
+    comb_res: float = 0.0,
 ) -> jnp.ndarray:
     """One fused RDB, canvas to canvas: reads an (hp, wp, 128) bf16
     canvas (see :func:`rdb_canvas_embed`), returns a NEW canvas whose
     tile centers hold the RDB output — the ring and grid padding are
     left unwritten (garbage), which is safe because every canvas
-    consumer (this kernel's in-window frame mask, the center-only
+    consumer (this kernel's edge-strip zeroing, the center-only
     extract, center-preserving eltwise combines) ignores them.  Chaining
     RDBs canvas-to-canvas deletes the per-call zeros+embed+slice XLA
     glue the plain :func:`rdb_apply` pays (~19 ms of the 204 ms 480px
     Valar tile, round-4 profile).  ``geom`` must come from
-    :func:`canvas_geometry` for the same (hgt, wid)."""
+    :func:`canvas_geometry` for the same (hgt, wid).
+
+    ``res_canvas``: optional second canvas fused into the epilogue as
+    ``comb_self * rdb_out + comb_res * res_canvas`` on the tile center —
+    the ESRGAN RRDB combine Eltwise (reference 4x_Valar_v1.param
+    ``Eltwise 0=1 -23301=2,0.2,1.0``) without its own canvas pass."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     wmats, biases = pack_rdb_weights(ws, bs)
@@ -426,24 +485,34 @@ def rdb_apply_canvas(
     else:
         wsk = jnp.zeros((NF, GC), jnp.bfloat16)
         bsk = jnp.zeros((1, GC), jnp.float32)
+    if res_canvas is None:
+        comb_self, comb_res = 1.0, 0.0
     return _rdb_run_canvas(
-        buf, tuple(wmats), tuple(biases), wsk, bsk, tuple(geom), hgt, wid,
-        slope, act5, res_scale, has_skip, add_c2_to_c4, interpret)
+        buf, res_canvas, tuple(wmats), tuple(biases), wsk, bsk,
+        tuple(geom), hgt, wid, slope, act5, res_scale, has_skip,
+        add_c2_to_c4, float(comb_self), float(comb_res), interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "hgt", "wid", "slope", "act5", "res_scale",
-                     "has_skip", "add_c2_to_c4", "interpret"),
+                     "has_skip", "add_c2_to_c4", "comb_self", "comb_res",
+                     "interpret"),
 )
-def _rdb_run_canvas(buf, wmats, biases, wsk, bsk, geom, hgt, wid, slope,
-                    act5, res_scale, has_skip, add_c2_to_c4, interpret):
+def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
+                    wid, slope, act5, res_scale, has_skip, add_c2_to_c4,
+                    comb_self, comb_res, interpret):
     th, tw, gy, gx, hp, wp = geom
+    has_res = comb_res != 0.0
+    res_ops = (res_canvas,) if has_res else ()
+    res_scratch = ([pltpu.VMEM((th, tw, LANES), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA(())] if has_res else [])
     return pl.pallas_call(
         functools.partial(
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
             has_skip=has_skip, add_c2_to_c4=add_c2_to_c4, canvas_out=True,
+            comb_self=comb_self, comb_res=comb_res,
         ),
         grid=(gy, gx),
         in_specs=[
@@ -456,6 +525,7 @@ def _rdb_run_canvas(buf, wmats, biases, wsk, bsk, geom, hgt, wid, slope,
             pl.BlockSpec(bsk.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            *[pl.BlockSpec(memory_space=pltpu.HBM) for _ in res_ops],
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((hp, wp, LANES), jnp.bfloat16),
@@ -464,12 +534,13 @@ def _rdb_run_canvas(buf, wmats, biases, wsk, bsk, geom, hgt, wid, slope,
             pltpu.SemaphoreType.DMA(()),
             pltpu.VMEM((th, tw, LANES), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
+            *res_scratch,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
-    )(*wmats, *biases, wsk, bsk, buf)
+    )(*wmats, *biases, wsk, bsk, buf, *res_ops)
 
 
 @functools.partial(
