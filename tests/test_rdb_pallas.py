@@ -528,14 +528,16 @@ def test_fused_res_combine_bit_matches_separate(rng):
         np.asarray(rdb_canvas_extract(fus, h, w)))
 
 
-def test_executor_fuses_rrdb_combine(rng):
+def test_executor_fuses_rrdb_combine(rng, monkeypatch):
     """The executor's lookahead folds the RRDB combine Eltwise into the
     third RDB kernel (sole-consumer, live canvas, sum op) and the result
-    still matches the XLA path."""
+    still matches the XLA path.  Opt-in: hardware-refuted as a default
+    (.hwlogs/rdb_rrdb_ab_r4s3.log, NOTES.md round 4)."""
     from upscale_video_tpu.models.bin_loader import synthesize_weights
     from upscale_video_tpu.models.executor import build_forward
     from upscale_video_tpu.models.zoo import make_rrdb_graph
 
+    monkeypatch.setenv("UPSCALE_TPU_RDB_FUSE_COMBINE", "1")
     g = make_rrdb_graph(scale=4, num_rrdb=1)
     params = synthesize_weights(g, seed=3)
     ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)

@@ -1303,9 +1303,18 @@ def build_forward(
                 # sum Eltwise whose other operand has a live canvas on
                 # the same grid (the ESRGAN RRDB combine, 0.2*r3 + in),
                 # fuse the combine into the kernel epilogue — the whole
-                # read-2/write-1 canvas pass disappears.
+                # read-2/write-1 canvas pass disappears.  REFUTED on
+                # hardware as a default (round-4 RRDB A/B,
+                # .hwlogs/rdb_rrdb_ab_r4s3.log): 7.213 ms/RRDB fused vs
+                # 7.040 with the separate canvas eltwise — the res-center
+                # DMA + VMEM pressure cost more than the pass it saves,
+                # and Mosaic's lowered multiply-add is not bit-identical
+                # to the XLA combine (0.03% checksum drift).  Kept as an
+                # opt-in for future Mosaic versions.
                 fuse_next = None  # (layer_idx, eltwise layer, res canvases, comb_self, comb_res)
-                cons = consumers_map.get(block["out"], [])
+                cons = (consumers_map.get(block["out"], [])
+                        if os.environ.get("UPSCALE_TPU_RDB_FUSE_COMBINE")
+                        == "1" else [])
                 if len(cons) == 1:
                     nxt = graph.layers[cons[0]]
                     if (nxt.type == "Eltwise" and nxt.attr_i(0, 0) == 1
