@@ -366,12 +366,13 @@ def test_tile_h_env_default(rng, monkeypatch):
 
 def test_auto_tile_h_exact_fit_policy():
     """Default tile_h prefers the largest measured-good height dividing
-    the padded input exactly (round-4 hardware A/B at 392 rows: th=28 =
-    1.92 ms/RDB vs th=32's 2.62) and reproduces the 480px round-3 winner."""
+    the padded input exactly (round-4 hardware A/Bs: th=28 at 392 rows =
+    1.92 ms/RDB vs th=32's 2.62; th=48 at 480 rows = 2.171 vs 2.462)."""
     from upscale_video_tpu.ops.rdb_pallas import auto_tile_h
 
     assert auto_tile_h(392) == 28   # shipped 1080p tiled geometry (14x28)
-    assert auto_tile_h(480) == 32   # round-3 measured best at 480px
+    assert auto_tile_h(480) == 48   # round-4 measured best at 480px (10x48)
+    assert auto_tile_h(576) == 48   # 2x4-grid 1080p geometry (12x48)
     assert auto_tile_h(400) == 20
     assert auto_tile_h(16) == 16
     assert auto_tile_h(344) == 32   # no exact fit -> round-3 default

@@ -58,11 +58,13 @@ def auto_tile_h(h8: int) -> int:
     geometry (392-row haloed tiles) th=28 (14x28 exact) measured
     1.92 ms/RDB vs th=32's 2.62 (1.36x) — 392/32 pads the grid to 13x32 =
     416 rows (6% waste) and takes the ragged-padding path Mosaic compiles
-    slower.  At 480px, 32 divides exactly and was the round-3 measured
-    best, which this policy reproduces.  th>=56 is VMEM-refuted
-    (est_vmem_bytes); 8/16 only matter for tiny inputs.
+    slower.  Among exact fits, taller wins (lower G1 halo-compute
+    overhead): th=48 at 480px measured 2.171 ms/RDB vs th=32's 2.462
+    (1.13x, .hwlogs/rdb_th_ab_r4s3.log), bit-exact, compile 1088 s vs
+    476 — amortized by the persistent compile cache.  th>=56 is
+    VMEM-refuted (est_vmem_bytes); 8/16 only matter for tiny inputs.
     """
-    for cand in (32, 28, 24, 20, 16):
+    for cand in (48, 32, 28, 24, 20, 16):
         if h8 % cand == 0:
             return cand
     return 32
