@@ -121,8 +121,10 @@ def build_args():
                    help="chain DSL for the step under test (e.g. 'n=3')")
     p.add_argument("--conv_impl", choices=["auto", "xla", "pallas", "rdb"],
                    default="auto")
-    p.add_argument("--valar_tile", type=int, default=None,
-                   help="override the '-m r' tile size (default 480; "
+    p.add_argument("--valar_tile", default=None,
+                   help="override the '-m r' tile size: a budget int or "
+                        "an HxW pair (default: the shipped product "
+                        "policy, pipeline/chain.default_tile; "
                         "tools/valar_tile_ab.py is the same-session A/B)")
     p.add_argument("--verbose", action="store_true")
     return p
@@ -137,11 +139,14 @@ def make_engine(args):
     spec = ChainSpec.parse(args.models)
     # Valar at 1080p whole-frame overflows HBM (measured 15.9/15.75 G);
     # production '-m r' runs tiled like the reference (tile 960 default,
-    # upscale_processing.py:489) — bench the realistic tiled config.
-    # cross-session runs: tile 480 = 0.365 fps, tile 540 = 0.299 fps —
-    # the exact-row-fit prediction for 540 did NOT hold; 480 is the
-    # measured best (tools/valar_tile_ab.py is the same-session check)
-    tile = (args.valar_tile or 480) if spec.real_life else 0
+    # upscale_processing.py:489) — bench the SHIPPED tiled config
+    # (pipeline/chain.default_tile, the measured winner ledger).
+    if args.valar_tile is not None and spec.real_life:
+        from upscale_video_tpu.cli.common import tile_spec
+
+        tile = tile_spec(args.valar_tile)
+    else:
+        tile = None  # ChainEngine.build applies the product policy
     return ChainEngine.build(
         spec, 2, compute_dtype=dtype,
         synthetic=True, conv_impl=args.conv_impl, tile=tile,

@@ -173,6 +173,72 @@ class TestCLIs:
         assert {"-i", "-t", "-o", "-s", "-m", "-g"} <= flags(bi())
         assert {"-g", "-s", "-r"} <= flags(bc())
 
+    def test_tile_size_spec(self, tmp_path):
+        """--tile_size accepts a geometry-fit BUDGET (bare int, shipped
+        default) or an exact HxW interior pair (kernel-geometry winners
+        from tools/valar_tile_ab.py ship as pairs)."""
+        import argparse
+
+        from upscale_video_tpu.cli.common import tile_spec
+        from upscale_video_tpu.cli.upscale_video import build_parser
+
+        assert tile_spec("480") == 480
+        assert tile_spec("0") == 0
+        assert tile_spec("544x480") == (544, 480)
+        for bad in ("abc", "4x", "x4", "4x4", "480x", "1.5x2"):
+            with pytest.raises(argparse.ArgumentTypeError):
+                tile_spec(bad)
+
+        args = build_parser().parse_args(
+            ["-i", "in.y4m", "--tile_size", "544x480"])
+        assert args.tile_size == (544, 480)
+        assert build_parser().parse_args(["-i", "v"]).tile_size is None
+        assert tile_spec("auto") is None
+
+    def test_default_tile_policy(self):
+        """No --tile_size: Compact runs whole-frame, '-m r' gets the
+        measured tile (whole-frame Valar overflows HBM at 1080p —
+        NOTES.md); explicit 0 still forces whole-frame."""
+        from upscale_video_tpu.pipeline.chain import (
+            VALAR_DEFAULT_TILE, ChainEngine, ChainSpec, default_tile,
+        )
+
+        assert default_tile(ChainSpec.parse(None)) == 0
+        assert default_tile(ChainSpec.parse("r")) == VALAR_DEFAULT_TILE
+        assert default_tile(ChainSpec.parse("sr=x")) == 0
+        eng = ChainEngine.build(ChainSpec.parse("r"), 4, synthetic=True)
+        assert eng.tile == VALAR_DEFAULT_TILE
+        eng0 = ChainEngine.build(ChainSpec.parse("r"), 4, synthetic=True,
+                                 tile=0)
+        assert eng0.tile == 0
+        assert ChainEngine.build(
+            ChainSpec.parse(None), 2, synthetic=True).tile == 0
+
+        # the pair must flow through the engine verbatim and still match
+        # whole-frame output in the interior (same contract as
+        # TestEngineTiling; a (24,24) pair forces a 2x2 grid on 40x48)
+        import jax.numpy as jnp
+
+        from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+
+        eng = ChainEngine.build(
+            ChainSpec.parse(None), 2, compute_dtype=jnp.float32,
+            synthetic=True, tile=(24, 24), halo=18,
+        )
+        frames = np.random.default_rng(0).integers(
+            0, 256, (1, 40, 48, 3), dtype=np.uint8)
+        out = eng.process(frames)
+        assert out.shape == (1, 80, 96, 3)
+        eng0 = ChainEngine.build(
+            ChainSpec.parse(None), 2, compute_dtype=jnp.float32,
+            synthetic=True,
+        )
+        ref = eng0.process(frames)
+        m = 2 * 18
+        diff = np.abs(out[:, m:-m, m:-m].astype(int)
+                      - ref[:, m:-m, m:-m].astype(int))
+        assert diff.max() <= 1
+
     def test_calibration(self):
         from upscale_video_tpu.pipeline.calibrate import run_calibration
 

@@ -5,6 +5,33 @@ from __future__ import annotations
 import argparse
 
 
+def tile_spec(s: str):
+    """Parse a ``--tile_size`` value: a bare int is a geometry-fit BUDGET
+    (ops/tiling.fit_tile_grid, 0 = whole frame); ``HxW`` forces an exact
+    interior tile pair (ChainEngine honors tuples verbatim); ``auto``
+    (the default) applies the per-family measured policy
+    (pipeline/chain.default_tile)."""
+    if s.strip().lower() == "auto":
+        return None
+    if "x" in s:
+        try:
+            h, w = (int(v) for v in s.split("x"))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"{s!r} is not BUDGET or HxW (e.g. 480 or 544x480)"
+            ) from None
+        if h < 8 or w < 8:
+            raise argparse.ArgumentTypeError(
+                f"tile pair {s!r} must be at least 8x8")
+        return (h, w)
+    try:
+        return int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"{s!r} is not BUDGET or HxW (e.g. 480 or 544x480)"
+        ) from None
+
+
 def add_model_chain_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "-m", "--models",
@@ -39,11 +66,17 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
         help="bf16 = fast MXU path (default); f32 = max quality.",
     )
     p.add_argument(
-        "--tile_size", type=int, default=0,
-        help="Spatial tile budget for HBM-bounded frames (0 = whole "
-             "frame; the reference hardcoded 960).  Tiles are "
-             "geometry-fit: the budget sets the grid, each tile shrinks "
-             "to just cover the frame (ops/tiling.fit_tile_grid).",
+        "--tile_size", type=tile_spec, default=None,
+        help="Spatial tile budget for HBM-bounded frames.  Default "
+             "'auto': whole frame for the Compact family, the measured "
+             "tile for -m r (whole-frame Valar overflows HBM at 1080p; "
+             "the reference hardcoded 960 for everything).  0 forces "
+             "whole-frame.  Tiles are geometry-fit: the budget sets the "
+             "grid, each tile shrinks to just cover the frame "
+             "(ops/tiling.fit_tile_grid).  An explicit HxW pair (e.g. "
+             "544x480) forces that interior tile shape instead — "
+             "kernel-geometry winners from tools/valar_tile_ab.py ship "
+             "as pairs.",
     )
     p.add_argument(
         "--halo", type=int, default=16,

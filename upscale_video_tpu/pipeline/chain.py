@@ -91,6 +91,32 @@ class ChainSpec:
         return out
 
 
+# Measured default tile for the '-m r' family (tools/valar_tile_ab.py
+# same-session A/Bs; NOTES.md round-4).  A bare int is a geometry-fit
+# budget (ops/tiling.fit_tile_grid); a pair forces that exact interior
+# tile.  One constant so a new hardware winner ships as a one-line change.
+# 544 at 1080p fits (544, 480): canvas height 576 = 12x48 — the RDB
+# kernel's best exact tile_h — and a 2x4 grid with only 8 padded rows;
+# measured 1958 ms/frame vs the 480 budget's 2187 (1.12x, round-4 s5
+# interleaved A/B).  2160p gets the same 544x480 tile; other heights
+# geometry-fit within the budget as usual.
+VALAR_DEFAULT_TILE: "int | tuple" = 544
+
+
+def default_tile(spec: ChainSpec) -> "int | tuple":
+    """Product tile policy when no ``--tile_size`` was given.
+
+    The reference hardcodes 960px tiles for every model
+    (upscale_processing.py:489); here the Compact family runs whole-frame
+    (fits HBM comfortably at 1080p and tiling only adds halo waste) while
+    the real-life RRDBNet tiles at the measured-best geometry — whole-frame
+    Valar at 1080p overflows the 16 GB HBM (measured 15.9 G, NOTES.md).
+    ``sr=`` imports keep whole-frame: their size is user-determined, and
+    ``--tile_size`` is the escape hatch either way (0 forces whole-frame).
+    """
+    return VALAR_DEFAULT_TILE if spec.real_life else 0
+
+
 @dataclass
 class ChainEngine:
     """Executes a model chain on batches of uint8 RGB frames.
@@ -103,7 +129,7 @@ class ChainEngine:
     scale: int
     sr_model: Optional[Model]
     anime_model: Optional[Model] = None
-    tile: int = 0  # 0 = whole-frame
+    tile: "int | tuple" = 0  # 0 = whole-frame; (th, tw) = exact pair
     halo: int = 16
     tta: bool = False  # x8 dihedral self-ensemble on the SR stage (ops/tta)
     channel_order: str = "bgr"
@@ -120,7 +146,7 @@ class ChainEngine:
         scale: int,
         model_path: Optional[str] = None,
         compute_dtype=jnp.bfloat16,
-        tile: int = 0,
+        tile: "int | tuple | None" = None,
         halo: int = 16,
         synthetic: bool = False,
         conv_impl: str = "auto",
@@ -143,6 +169,8 @@ class ChainEngine:
         enable_compilation_cache()  # multi-minute Valar compiles are shared
         # across the short-process workflows (opt-out via env; no-op when
         # the backend can't serialize executables)
+        if tile is None:
+            tile = default_tile(spec)
         scale = spec.effective_scale(scale)
         if conv_impl == "auto":
             pallas_conv = False  # measured: NOTES.md round-2 Valar A/B

@@ -95,7 +95,7 @@ def process_file(
     log_dir: Optional[str] = None,
     model_path: Optional[str] = None,
     precision: str = "bf16",
-    tile_size: int = 0,
+    tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
     global_quality: Optional[int] = 20,

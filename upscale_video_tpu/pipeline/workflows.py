@@ -80,7 +80,7 @@ def upscale_only(
     log_dir: Optional[str] = None,
     model_path: Optional[str] = None,
     precision: str = "bf16",
-    tile_size: int = 0,
+    tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
@@ -281,7 +281,7 @@ def fix_frames(
     log_dir: Optional[str] = None,
     model_path: Optional[str] = None,
     precision: str = "bf16",
-    tile_size: int = 0,
+    tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
@@ -400,7 +400,7 @@ def process_image(
     chips: Optional[str] = None,
     model_path: Optional[str] = None,
     precision: str = "bf16",
-    tile_size: int = 0,
+    tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
     synthetic_models: bool = False,
