@@ -52,7 +52,8 @@ def grouped_totals(trace_dir):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=int, default=480)
+    p.add_argument("--size", default="480",
+                   help="square px or HxW (e.g. 576x512 = the shipped 1080p\n                   544-budget tile + 16px halo)")
     p.add_argument("--k1", type=int, default=1)
     p.add_argument("--k2", type=int, default=3)
     p.add_argument("--reps", type=int, default=3)
@@ -68,7 +69,9 @@ def main():
     )
     step = eng.raw_step
     rng = np.random.default_rng(0)
-    x = rng.integers(0, 256, (1, args.size, args.size, 3), dtype=np.uint8)
+    hw = [int(v) for v in str(args.size).lower().split("x")]
+    sh, sw = (hw[0], hw[0]) if len(hw) == 1 else (hw[0], hw[1])
+    x = rng.integers(0, 256, (1, sh, sw, 3), dtype=np.uint8)
 
     def chained(K):
         @jax.jit
@@ -94,7 +97,7 @@ def main():
     t1 = statistics.median([timed(lambda: c1(x)) for _ in range(args.reps)])
     t2 = statistics.median([timed(lambda: c2(x)) for _ in range(args.reps)])
     per = (t2 - t1) / (args.k2 - args.k1)
-    print(f"[{args.impl}] {args.size}px tile: {per*1e3:.1f} ms/tile", flush=True)
+    print(f"[{args.impl}] {sh}x{sw} tile: {per*1e3:.1f} ms/tile", flush=True)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
