@@ -65,6 +65,12 @@ def test_two_process_global_mesh(tmp_path):
     # one real CPU device per process (conftest's virtual-8 flag would make
     # the global mesh 16-wide and hide the cross-process axis)
     env.pop("XLA_FLAGS", None)
+    # the worker runs from a tmp cwd: make the package importable even when
+    # the editable install is absent (fresh checkout / wiped venv).  PREPEND —
+    # never overwrite — PYTHONPATH: this image's TPU plugin lives on it.
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO_ROOT] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker)],
