@@ -63,9 +63,12 @@ def main():
 
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
+    # tile=0: the INPUT is the tile under test — without it the engine's
+    # per-family default tile policy (544 budget since round 4 s5) would
+    # re-tile the input internally and profile a different geometry.
     eng = ChainEngine.build(
         ChainSpec.parse("r"), 4, compute_dtype=jnp.bfloat16,
-        synthetic=True, conv_impl=args.impl,
+        synthetic=True, conv_impl=args.impl, tile=0,
     )
     step = eng.raw_step
     rng = np.random.default_rng(0)
