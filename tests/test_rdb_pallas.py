@@ -428,6 +428,21 @@ def test_vmem_clamp_warns_and_matches(rng, monkeypatch):
     np.testing.assert_array_equal(small, clamped)
 
 
+def test_vmem_limit_env_override(monkeypatch):
+    """UPSCALE_TPU_RDB_VMEM_LIMIT overrides the budget (the boundary
+    experiment knob): a raised limit admits a normally-clamped tile."""
+    from upscale_video_tpu.ops import rdb_pallas as rp
+
+    assert rp.vmem_limit_bytes() == rp.VMEM_LIMIT_BYTES
+    monkeypatch.setenv("UPSCALE_TPU_RDB_VMEM_LIMIT", str(134217728))
+    assert rp.vmem_limit_bytes() == 134217728
+    # th=56/tw=512 is guard-rejected at the default 110M but admitted
+    # at the chip's 128M (est 119.4M) — geometry resolution must now
+    # keep th=56 instead of clamping
+    th, tw, *_ = rp.canvas_geometry(56, 496, tile_h=56, tile_w=512)
+    assert th == 56
+
+
 def test_canvas_chain_bit_matches_plain(rng):
     """Canvas-resident chaining (embed once, N kernels canvas-to-canvas,
     extract once) is bit-identical to N plain rdb_apply calls — the
@@ -547,3 +562,100 @@ def test_executor_fuses_rrdb_combine(rng, monkeypatch):
     a = np.asarray(ref_fwd(params, x)).astype(np.float32)
     b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
     np.testing.assert_allclose(a, b, atol=0.06)
+
+
+@pytest.mark.parametrize("im2col", ["row3", "row3h"])
+def test_rdb_im2col_variants_match(rng, im2col):
+    """The row-grouped im2col formulations (3 accumulated K=3*cs dots per
+    stage from ONE column-shift buffer — the round-5 VPU lever) compute
+    the same taps as patch9's single K=9*cs dot; only the f32 partial-sum
+    order differs, inside the bf16 rounding budget."""
+    h, w_ = 19, 37
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    kw = dict(tile_h=16, tile_w=24, interpret=True)
+    base = np.asarray(
+        rdb_apply(x, ws, bs, im2col="patch9", **kw)).astype(np.float32)
+    got = np.asarray(
+        rdb_apply(x, ws, bs, im2col=im2col, **kw)).astype(np.float32)
+    # one bf16 LSB of slack: the 3-dot partial sums reassociate f32
+    # adds, and a value sitting on a rounding boundary may flip a ulp
+    # (observed: 1/44992 elements at 0.03125 after 5 chained stages)
+    np.testing.assert_allclose(got, base, atol=0.04)
+    want = np.asarray(_xla_rdb(x, ws, bs)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+
+@pytest.mark.parametrize("im2col", ["row3", "row3h"])
+def test_rdb_im2col_valar_variant(rng, im2col):
+    """Valar hooks (1x1 x-skip into c2, c2-into-c4) under the row-grouped
+    im2col modes."""
+    h, w_ = 20, 28
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    skip_w = jnp.asarray(rng.normal(0, 0.1, (1, 1, NF, GC)), jnp.float32)
+    got = np.asarray(rdb_apply(
+        x, ws, bs, tile_h=16, tile_w=24, skip_w=skip_w,
+        add_c2_to_c4=True, interpret=True, im2col=im2col,
+    )).astype(np.float32)
+    want = np.asarray(_xla_valar_rdb(x, ws, bs, skip_w)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.06)
+
+
+def test_rdb_im2col_env_knob(rng, monkeypatch):
+    """UPSCALE_TPU_RDB_IM2COL selects the formulation (a hardware winner
+    ships without a code change); bad values fail loudly."""
+    x = jnp.asarray(rng.normal(0, 0.5, (19, 37, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    kw = dict(tile_h=16, tile_w=24, interpret=True)
+    explicit = np.asarray(rdb_apply(x, ws, bs, im2col="row3h", **kw))
+    monkeypatch.setenv("UPSCALE_TPU_RDB_IM2COL", "row3h")
+    via_env = np.asarray(rdb_apply(x, ws, bs, **kw))
+    np.testing.assert_array_equal(explicit, via_env)
+    monkeypatch.setenv("UPSCALE_TPU_RDB_IM2COL", "banana")
+    with pytest.raises(ValueError, match="UPSCALE_TPU_RDB_IM2COL"):
+        rdb_apply(x, ws, bs, **kw)
+
+
+def test_rdb_canvas_chain_im2col_variant(rng):
+    """The canvas-resident chain (the product '-m r' path) accepts the
+    im2col modes and matches the plain-call chain."""
+    from upscale_video_tpu.ops.rdb_pallas import (
+        canvas_geometry, rdb_apply_canvas, rdb_canvas_embed,
+        rdb_canvas_extract,
+    )
+
+    h, w = 27, 41
+    geom = canvas_geometry(h, w, 16, 32)
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w, NF)), jnp.bfloat16)
+    ws1, bs1 = _make_rdb_weights(rng)
+    ws2, bs2 = _make_rdb_weights(rng)
+
+    a1 = rdb_apply(x, ws1, bs1, tile_h=16, tile_w=32, interpret=True,
+                   im2col="row3h")
+    a2 = rdb_apply(jnp.asarray(a1, jnp.bfloat16), ws2, bs2, tile_h=16,
+                   tile_w=32, interpret=True, im2col="row3h")
+
+    buf = rdb_canvas_embed(x, geom)
+    buf = rdb_apply_canvas(buf, ws1, bs1, geom, h, w, interpret=True,
+                           im2col="row3h")
+    buf = rdb_apply_canvas(buf, ws2, bs2, geom, h, w, interpret=True,
+                           im2col="row3h")
+    b2 = rdb_canvas_extract(buf, h, w)
+    np.testing.assert_array_equal(np.asarray(a1, np.float32).dtype,
+                                  np.float32)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def test_rdb_frame_mask_ablation_knob(rng):
+    """frame_mask=False (the rdb_bench ablation) still runs and agrees on
+    the INTERIOR (frame borders are where the mask matters)."""
+    h, w_ = 32, 40
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    kw = dict(tile_h=16, tile_w=24, interpret=True)
+    a = np.asarray(rdb_apply(x, ws, bs, frame_mask=True, **kw),
+                   dtype=np.float32)
+    b = np.asarray(rdb_apply(x, ws, bs, frame_mask=False, **kw),
+                   dtype=np.float32)
+    np.testing.assert_allclose(a[6:-6, 6:-6], b[6:-6, 6:-6], atol=1e-6)

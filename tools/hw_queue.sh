@@ -1,12 +1,12 @@
 #!/bin/bash
-# Unattended sequential TPU measurement queue — round-4 items (VERDICT #1).
+# Unattended sequential TPU measurement queue — round-5 items (VERDICT r4).
 # One TPU process at a time (CLAUDE.md); logs land in .hwlogs/ (gitignored).
 # Run: nohup bash tools/hw_queue.sh & — and KILL the whole tree before any
 # other TPU job (incl. the driver's round-end bench).
 #
-# bench.py headline/valar runs are NOT here: they run after the round-4
-# bench.py rework (median+spread+mfu contract) so the artifacts carry the
-# new fields.
+# Phase 2 (winner refresh: bf16 Valar sidecar with the measured im2col
+# mode, vsr-test-chips -m r tile sweep) launches MANUALLY after reading
+# phase-1 results — the winner selection needs a human/agent in the loop.
 set -u
 cd "$(dirname "$0")/.."
 export UPSCALE_TPU_MODEL_PATH=${UPSCALE_TPU_MODEL_PATH:-/root/reference/models}
@@ -14,48 +14,79 @@ R=.hwlogs
 mkdir -p "$R"
 mark() { echo "$(date -u +%H:%M:%S) $1" >> "$R/QUEUE_STATE"; }
 
-mark "hw_queue(r4) start"
+mark "hw_queue(r5) start"
 
-# Parity sweep refresh incl. the two symmetric-4:2:0 rows (session-4 launch
-# failed only because UPSCALE_TPU_MODEL_PATH was not exported).
-mark "parity_oracle start"
-timeout 1200 python tools/parity_sweep.py --phase oracle \
-    > "$R/parity_oracle.log" 2>&1
-mark "parity_oracle rc=$?"
-mark "parity_tpu start"
-timeout 2400 python tools/parity_sweep.py --phase tpu \
-    > "$R/parity_tpu.log" 2>&1
-mark "parity_tpu rc=$?"
+# 1. RDB kernel ablation at the SHIPPED 576x512/th=48 geometry (VERDICT
+#    #1: split the ~2x VPU overhead — 192 ms measured vs ~96 ms MXU
+#    floor).  nomask prices the frame mask; row3h/row3 price the im2col
+#    patch copies (3 sublane-shifted copies per stage instead of 9).
+#    Parity of each non-nomask impl vs xla-scatter rides along.
+mark "rdb_ablate start"
+timeout 10800 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+    --impls xla-scatter,rdb:48,rdb:48:nomask,rdb:48:row3h,rdb:48:row3 \
+    --reps 3 --compile_budget 2400 > "$R/rdb_ablate_r5.log" 2>&1
+mark "rdb_ablate rc=$?"
 
-# RDB tile_h A/B at the shipped 392x512 geometry.  ADVICE r3: th=56 (the
-# actually-pending measurement; 392 = 7x56 exact fit) runs FIRST with its
-# own timeout so the pathological th=32 compile cannot starve it.  Then two
-# controls decide the Mosaic compile-pathology trigger: th=28 (392 = 14x28,
-# tile-aligned) vs th=32 (392/32 = 12.25, ragged padding path).  th=64 was
-# already disqualified on compile time (round 3).
-mark "rdb_tileh_56 start"
-timeout 2400 python tools/rdb_bench.py --size 392x512 --tile_h 56 \
-    --reps 3 > "$R/rdb_tileh_56.log" 2>&1
-mark "rdb_tileh_56 rc=$?"
-mark "rdb_tileh_28 start"
-timeout 1800 python tools/rdb_bench.py --size 392x512 --tile_h 28 \
-    --reps 3 --skip_parity > "$R/rdb_tileh_28.log" 2>&1
-mark "rdb_tileh_28 rc=$?"
-mark "rdb_tileh_32 start"
-timeout 2700 python tools/rdb_bench.py --size 392x512 --tile_h 32 \
-    --reps 3 --skip_parity > "$R/rdb_tileh_32.log" 2>&1
-mark "rdb_tileh_32 rc=$?"
+# 2. Ragged-vs-exact compile-time control (VERDICT #3): same row-count
+#    class, th=32, cold cache each run, alternating order so tunnel
+#    congestion can't masquerade as the ragged effect.  384 = 12x32
+#    exact; 392 -> grid pads to 416 rows (the ragged path).
+for rep in 1 2; do
+  mark "compile_exact_$rep start"
+  timeout 2700 python tools/rdb_bench.py --size 384x512 --tile_w 512 \
+      --impls rdb:32 --compile_only --fresh_cache --compile_budget 2400 \
+      > "$R/compile_exact_r5_$rep.log" 2>&1
+  mark "compile_exact_$rep rc=$?"
+  mark "compile_ragged_$rep start"
+  timeout 2700 python tools/rdb_bench.py --size 392x512 --tile_w 512 \
+      --impls rdb:32 --compile_only --fresh_cache --compile_budget 2400 \
+      > "$R/compile_ragged_r5_$rep.log" 2>&1
+  mark "compile_ragged_$rep rc=$?"
+done
 
-# Where the remaining ~204 ms/480px Valar tile goes after the RDB kernel.
-mark "valar_profile start"
-timeout 2400 python tools/valar_profile.py --impl auto \
-    > "$R/valar_profile.log" 2>&1
-mark "valar_profile rc=$?"
+# 3. est_vmem_bytes boundary calibration (VERDICT #4).  The one known
+#    failure (th=56/tw=512: est 113.9M, ACTUAL 129.7M) says est
+#    underestimates true need ~1.14x — so the dangerous side is the
+#    ADMITTED one: a geometry estimating just under 110M could still
+#    exceed the chip's 128M.  (a)/(b) compile the two largest admitted
+#    estimates (110.0M / 108.7M) under the default limit — an OOM here
+#    means the guard is too lax; (c) compiles the smallest REJECTED
+#    estimate (110.4M) with the stated budget raised to the chip's 128M
+#    to locate the true boundary from the other side.
+mark "vmem_admit_52x528 start"
+timeout 2700 python tools/rdb_bench.py --size 104x528 --tile_w 528 \
+    --impls rdb:52 --compile_only --compile_budget 2400 \
+    > "$R/vmem_admit_52x528_r5.log" 2>&1
+mark "vmem_admit_52x528 rc=$?"
+mark "vmem_admit_56x488 start"
+timeout 2700 python tools/rdb_bench.py --size 112x488 --tile_w 488 \
+    --impls rdb:56 --compile_only --compile_budget 2400 \
+    > "$R/vmem_admit_56x488_r5.log" 2>&1
+mark "vmem_admit_56x488 rc=$?"
+mark "vmem_reject_56x496 start"
+timeout 2700 env UPSCALE_TPU_RDB_VMEM_LIMIT=134217728 \
+    python tools/rdb_bench.py --size 112x496 --tile_w 496 \
+    --impls rdb:56 --compile_only --compile_budget 2400 \
+    > "$R/vmem_reject_56x496_r5.log" 2>&1
+mark "vmem_reject_56x496 rc=$?"
 
-# Batch-depth A/B for the Compact headline (pending since round-3 s2).
-mark "batch_ab start"
-timeout 1800 python tools/batch_ab.py --batches 4,8 --reps 3 \
-    > "$R/batch_ab.log" 2>&1
-mark "batch_ab rc=$?"
+# 4. Compact step re-profile on TODAY'S contract (VERDICT #5): planar +
+#    packed 4:2:0 + i420 input + batch 4 — attribute the residual
+#    between 61.7 TFLOP/s and the ~98 N=64 lane-fill ceiling.
+mark "compact_profile start"
+timeout 2700 python tools/valar_profile.py --models '' --pipe yuv420 \
+    --batch 4 --size 1080x1920 --k1 2 --k2 6 --reps 3 \
+    --trace /tmp/compact_trace_r5 > "$R/compact_profile_r5.log" 2>&1
+mark "compact_profile rc=$?"
 
-mark "hw_queue(r4) ALL DONE"
+# 5. f32 Valar (VERDICT #7): quality-class guidance number.  The sidecar
+#    is backed up and restored — bench_valar.json must keep carrying the
+#    SHIPPED bf16 config for the driver's headline artifact.
+mark "valar_f32 start"
+cp -f bench_valar.json /tmp/bench_valar_bf16_backup.json 2>/dev/null || true
+timeout 7200 python bench.py --models r --precision f32 --verbose \
+    > "$R/valar_f32_r5.log" 2>&1
+mark "valar_f32 rc=$?"
+cp -f /tmp/bench_valar_bf16_backup.json bench_valar.json 2>/dev/null || true
+
+mark "hw_queue(r5) done"

@@ -1,20 +1,37 @@
 """Hardware A/B: fused RDB kernel vs the XLA dense-scatter formulation
 (round-3 Valar item).  Chained protocol, operands as jit args.
 
-Usage: python tools/rdb_bench.py [--size 480] [--k1 2 --k2 6] [--reps 3]
-       [--tile_h 32 --tile_w 256]
+Usage: python tools/rdb_bench.py [--size 480 | HxW] [--k1 2 --k2 6]
+       [--reps 3] [--tile_h 32 --tile_w 256]
+       [--impls xla-scatter,rdb:48,rdb:48:row3h,rdb:48:nomask]
+       [--compile_budget 1500] [--fresh_cache]
+
+Impl grammar: ``xla-scatter`` or ``rdb:<tile_h>[:<im2col>][:nomask]``
+where im2col is patch9 (default) / row3 / row3h (see
+ops/rdb_pallas.pack_rdb_weights) and ``nomask`` drops the frame mask —
+the round-5 VPU ablation (numerically wrong at frame borders; timing
+only, parity is skipped for it automatically).
+
+Compile seconds are printed per impl (the Mosaic ragged-padding
+pathology data); ``--compile_budget`` aborts the process with a report
+instead of hanging a session when a compile exceeds it.
 """
 
 import argparse
+import os
 import statistics
 import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from upscale_video_tpu.ops.rdb_pallas import GC, NF, pack_rdb_weights, rdb_apply
+from upscale_video_tpu.ops.rdb_pallas import (
+    GC, NF, est_vmem_bytes, pack_rdb_weights, rdb_apply, vmem_limit_bytes,
+)
+from upscale_video_tpu.utils.compcache import enable_compilation_cache
 
 
 def make_weights(rng):
@@ -78,7 +95,30 @@ def main():
                    help="comma list A/Bs kernel tile heights in-process")
     p.add_argument("--tile_w", type=int, default=256)
     p.add_argument("--skip_parity", action="store_true")
+    p.add_argument("--impls", default=None,
+                   help="comma list overriding the default impl set; see "
+                        "the impl grammar in the module docstring")
+    p.add_argument("--compile_budget", type=float, default=0,
+                   help="seconds; a compile exceeding this aborts the "
+                        "process (exit 3) with a report instead of "
+                        "hanging the session (0 = unbounded)")
+    p.add_argument("--fresh_cache", action="store_true",
+                   help="point the persistent compile cache at a throwaway "
+                        "dir so compile TIMES are cold (the ragged-padding "
+                        "pathology experiment)")
+    p.add_argument("--compile_only", action="store_true",
+                   help="compile each impl (K=k1 program only) and exit — "
+                        "the est_vmem_bytes boundary experiment; combine "
+                        "with UPSCALE_TPU_RDB_VMEM_LIMIT=134217728 to let "
+                        "a guard-rejected geometry reach Mosaic")
     args = p.parse_args()
+
+    if args.fresh_cache:
+        import tempfile
+
+        os.environ["UPSCALE_TPU_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+            prefix="rdbbench_cache_")
+    enable_compilation_cache()
 
     rng = np.random.default_rng(0)
     ws, bs = make_weights(rng)
@@ -91,10 +131,18 @@ def main():
     def impl_fn(name):
         if name == "xla-scatter":
             return lambda v, ws, bs: xla_scatter_rdb(v, ws, bs)
-        th = int(name.split(":")[1])
+        parts = name.split(":")
+        th = int(parts[1])
+        im2col = "patch9"
+        frame_mask = True
+        for flag in parts[2:]:
+            if flag == "nomask":
+                frame_mask = False
+            else:
+                im2col = flag
         return lambda v, ws, bs: rdb_apply(
             v, ws, bs, tile_h=th, tile_w=args.tile_w,
-            interpret=False,
+            interpret=False, im2col=im2col, frame_mask=frame_mask,
         )
 
     def chained(name, K):
@@ -116,15 +164,53 @@ def main():
         float(f())
         return time.perf_counter() - t0
 
-    tile_hs = [int(t) for t in str(args.tile_h).split(",")]
-    impls = ["xla-scatter"] + [f"rdb:{th}" for th in tile_hs]
+    if args.impls:
+        impls = [s.strip() for s in args.impls.split(",") if s.strip()]
+    else:
+        tile_hs = [int(t) for t in str(args.tile_h).split(",")]
+        impls = ["xla-scatter"] + [f"rdb:{th}" for th in tile_hs]
     fns = {}
     for name in impls:
+        if name != "xla-scatter":
+            th = int(name.split(":")[1])
+            print(f"[{name}] est_vmem={est_vmem_bytes(th, args.tile_w)/2**20:.1f}M "
+                  f"limit={vmem_limit_bytes()/2**20:.0f}M", flush=True)
         c1, c2 = chained(name, args.k1), chained(name, args.k2)
         print(f"[{name}] compiling...", file=sys.stderr, flush=True)
-        float(c1(x, ws, bs))
-        float(c2(x, ws, bs))
+        done = threading.Event()
+        if args.compile_budget > 0:
+            t_start = time.perf_counter()
+
+            def watchdog(nm=name, t0=t_start):
+                if not done.wait(args.compile_budget):
+                    print(f"[compile-budget] {nm} exceeded "
+                          f"{args.compile_budget:.0f}s "
+                          f"(elapsed {time.perf_counter() - t0:.0f}s) — "
+                          "aborting; record this geometry as "
+                          "compile-pathological", flush=True)
+                    os._exit(3)
+
+            threading.Thread(target=watchdog, daemon=True).start()
+        tc = time.perf_counter()
+        try:
+            float(c1(x, ws, bs))
+            if not args.compile_only:
+                float(c2(x, ws, bs))
+        except Exception as e:
+            done.set()
+            print(f"[{name}] compile FAILED after "
+                  f"{time.perf_counter() - tc:.1f}s: "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            if not args.compile_only:
+                raise
+            continue
+        done.set()
+        print(f"[{name}] compile {time.perf_counter() - tc:.1f}s",
+              flush=True)
         fns[name] = (c1, c2)
+    if args.compile_only:
+        print("[compile_only] done", flush=True)
+        return
 
     t1 = {n: [] for n in impls}
     t2 = {n: [] for n in impls}
@@ -146,13 +232,16 @@ def main():
               f"{flop/per/1e12:.1f} TFLOP/s", flush=True)
 
     if not args.skip_parity:
-        a = np.asarray(jax.jit(impl_fn(f"rdb:{tile_hs[0]}"))(x, ws, bs),
-                       dtype=np.float32)
         b = np.asarray(jax.jit(impl_fn("xla-scatter"))(x, ws, bs),
                        dtype=np.float32)
-        d = np.abs(a - b)
-        print(f"[parity] kernel vs xla-scatter on hardware: "
-              f"maxabs={d.max():.4f} mean={d.mean():.6f}", flush=True)
+        for name in impls:
+            if name == "xla-scatter" or ":nomask" in name:
+                continue  # nomask is wrong at frame borders by design
+            a = np.asarray(jax.jit(impl_fn(name))(x, ws, bs),
+                           dtype=np.float32)
+            d = np.abs(a - b)
+            print(f"[parity] {name} vs xla-scatter on hardware: "
+                  f"maxabs={d.max():.4f} mean={d.mean():.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,21 @@
-"""Valar (RRDBNet) device profiling + A/B harness (VERDICT round-3 item 2).
+"""Device step profiling + A/B harness (VERDICT round-3 item 2, extended
+round 5 to profile ANY chain/contract, not just Valar).
 
-Captures a jax.profiler trace of the scatter-rewrite step at a given tile
-size and prints grouped device-op totals (the round-2 method that
-attributed the Compact step), plus the chained-protocol per-tile time.
+Captures a jax.profiler trace of the shipped step at a given input size
+and prints grouped device-op totals (the round-2 method that attributed
+the Compact step), plus the chained-protocol per-step time.
 
-Usage: python tools/valar_profile.py [--size 480] [--k1 1 --k2 3]
+Usage: python tools/valar_profile.py [--size 480 | HxW] [--k1 1 --k2 3]
        [--trace /tmp/valar_trace] [--impl auto]
+       [--models r] [--pipe rgb|yuv420] [--batch 1]
+
+The engine is built whole-frame (tile=0) so ``--size`` IS the profiled
+tile — the product's per-family default-tile policy never re-tiles it.
+The round-5 Compact re-profile is:
+    python tools/valar_profile.py --models '' --pipe yuv420 --batch 4 \
+        --size 1080x1920 --k1 2 --k2 6 --trace /tmp/compact_trace
+(``--models ''`` = the default 2x Compact chain; yuv420 = the shipped
+``--pipe_pix auto`` device contract: flat I420 in, packed 4:2:0 out.)
 """
 
 import argparse
@@ -51,14 +61,30 @@ def grouped_totals(trace_dir):
 
 
 def main():
+    def size_spec(s):
+        hw = str(s).lower().split("x")
+        if len(hw) not in (1, 2) or not all(v.strip().isdigit() for v in hw):
+            raise argparse.ArgumentTypeError(
+                f"--size {s!r}: expected a square px count or HxW"
+            )
+        return [int(v) for v in hw]
+
     p = argparse.ArgumentParser()
-    p.add_argument("--size", default="480",
+    p.add_argument("--size", default="480", type=size_spec,
                    help="square px or HxW (e.g. 576x512 = the shipped 1080p\n                   544-budget tile + 16px halo)")
     p.add_argument("--k1", type=int, default=1)
     p.add_argument("--k2", type=int, default=3)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--trace", default=None)
     p.add_argument("--impl", default="auto")
+    p.add_argument("--models", default="r",
+                   help="chain DSL ('' = the default 2x Compact chain)")
+    p.add_argument("--pipe", choices=["rgb", "yuv420"], default="rgb",
+                   help="device contract: rgb = raw (planar if available) "
+                        "step; yuv420 = the shipped --pipe_pix auto "
+                        "contract (flat I420 in, packed 4:2:0 out)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per step (the shipped Compact default is 4)")
     args = p.parse_args()
 
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
@@ -67,21 +93,42 @@ def main():
     # per-family default tile policy (544 budget since round 4 s5) would
     # re-tile the input internally and profile a different geometry.
     eng = ChainEngine.build(
-        ChainSpec.parse("r"), 4, compute_dtype=jnp.bfloat16,
+        ChainSpec.parse(args.models or None), 2 if not args.models else 4,
+        compute_dtype=jnp.bfloat16,
         synthetic=True, conv_impl=args.impl, tile=0,
     )
-    step = eng.raw_step
     rng = np.random.default_rng(0)
-    hw = [int(v) for v in str(args.size).lower().split("x")]
+    hw = args.size
     sh, sw = (hw[0], hw[0]) if len(hw) == 1 else (hw[0], hw[1])
-    x = rng.integers(0, 256, (1, sh, sw, 3), dtype=np.uint8)
+
+    if args.pipe == "yuv420":
+        nbytes = sh * sw * 3 // 2
+        planar_ok = bool(eng.planar_scale)
+        step = eng.yuv_step(True, planar_ok, i420_in=(sh, sw, True))
+        x = rng.integers(0, 256, (args.batch, nbytes), dtype=np.uint8)
+
+        def link(y):
+            # feed the packed 4:2:0 output's leading bytes back as the
+            # next flat-I420 input (content is garbage; the DEPENDENCY is
+            # what the chained protocol needs)
+            return y.reshape(y.shape[0], -1)[:, :nbytes]
+    else:
+        planar = bool(eng.planar_scale)
+        step = eng.raw_planar_step if planar else eng.raw_step
+        scale = eng.scale
+        x = rng.integers(0, 256, (args.batch, sh, sw, 3), dtype=np.uint8)
+        if planar:
+            def link(y):
+                return y[:, :, :, :3]
+        else:
+            def link(y):
+                return y[:, ::scale, ::scale, :]
 
     def chained(K):
         @jax.jit
         def go(v):
             def body(_, u):
-                y = step(u)
-                return y[:, ::4, ::4, :]
+                return link(step(u))
 
             return jnp.sum(jax.lax.fori_loop(0, K, body, v).astype(jnp.uint32))
 
@@ -100,7 +147,9 @@ def main():
     t1 = statistics.median([timed(lambda: c1(x)) for _ in range(args.reps)])
     t2 = statistics.median([timed(lambda: c2(x)) for _ in range(args.reps)])
     per = (t2 - t1) / (args.k2 - args.k1)
-    print(f"[{args.impl}] {sh}x{sw} tile: {per*1e3:.1f} ms/tile", flush=True)
+    print(f"[{args.impl}|{args.models or 'compact'}|{args.pipe}] "
+          f"{sh}x{sw} batch={args.batch}: {per*1e3:.1f} ms/step "
+          f"({per*1e3/args.batch:.2f} ms/frame)", flush=True)
 
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -50,6 +50,16 @@ NF = 64   # trunk feature width
 VMEM_LIMIT_BYTES = 110 * 1024 * 1024  # the pallas_call compiler budget
 
 
+def vmem_limit_bytes() -> int:
+    """The kernel VMEM budget, env-overridable for the boundary
+    experiments (``UPSCALE_TPU_RDB_VMEM_LIMIT``, bytes): raising it to
+    the chip's 128M lets a guard-rejected geometry actually compile so
+    the 2.5x spill factor in :func:`est_vmem_bytes` can be verified on
+    more than the single round-4 failure.  Never set in product paths."""
+    raw = os.environ.get("UPSCALE_TPU_RDB_VMEM_LIMIT", "")
+    return int(raw) if raw.strip() else VMEM_LIMIT_BYTES
+
+
 def auto_tile_h(h8: int) -> int:
     """Default tile height for an ``h8``-row (8-aligned) kernel input:
     the largest measured-good height that divides h8 EXACTLY, else 32.
@@ -88,15 +98,27 @@ def est_vmem_bytes(th: int, tw: int) -> int:
     return out_window + scratch + int(2.5 * patches)
 
 
-def pack_rdb_weights(ws: Sequence, bs: Sequence):
+IM2COL_MODES = ("patch9", "row3", "row3h")
+
+
+def pack_rdb_weights(ws: Sequence, bs: Sequence, im2col: str = "patch9"):
     """Per-source scatter weight concatenation for one RDB.
 
     ``ws``: five HWIO conv weights (3,3,cin_t,cout_t) with
     cin_t = NF + (t-1)*GC, cout = GC (t<5) / NF (t=5); ``bs``: biases.
-    Returns (wmats, biases): wmats[s] is ``(9*cs, N_s)`` — source s's
-    contribution rows to every downstream target, K laid out
-    (dy,dx)-major to match the kernel's im2col concat.
+    Returns (wmats, biases): for ``im2col="patch9"`` wmats[s] is
+    ``(9*cs, N_s)`` — source s's contribution rows to every downstream
+    target, K laid out (dy,dx)-major to match the kernel's im2col concat.
+    For ``"row3"`` wmats[s] is ``(3, 3*cs, N_s)`` — one K=(dx,ch) matrix
+    per kernel ROW, matching the kernel's 3-dot row-grouped formulation
+    (the dy shift becomes a free outer-dim slice of one shared
+    column-shift buffer, cutting the per-stage patch-copy volume 3x).
+    ``"row3h"`` (hybrid) keeps patch9 for source 0 — its K=9*64=576 is
+    MXU-exact, which the 3-dot split would pad 192->256 — and row3 for
+    sources 1..4, whose K=288 pads to 384 either way.
     """
+    if im2col not in IM2COL_MODES:
+        raise ValueError(f"im2col={im2col!r}; expected one of {IM2COL_MODES}")
     wmats = []
     for s in range(5):  # source 0 = x (64 ch), sources 1..4 = c1..c4 (32 ch)
         cs = NF if s == 0 else GC
@@ -106,13 +128,28 @@ def pack_rdb_weights(ws: Sequence, bs: Sequence):
             for t in range(s, 5)
         ]
         cat = jnp.concatenate(parts, axis=-1)  # (3,3,cs,N_s)
-        wmats.append(
-            jnp.asarray(cat.reshape(9 * cs, cat.shape[-1]), jnp.bfloat16)
-        )
+        row3 = im2col == "row3" or (im2col == "row3h" and s > 0)
+        shape = (3, 3 * cs, cat.shape[-1]) if row3 else (9 * cs, cat.shape[-1])
+        wmats.append(jnp.asarray(cat.reshape(shape), jnp.bfloat16))
     biases = [
         jnp.asarray(b, jnp.float32).reshape(1, -1) for b in bs
     ]
     return wmats, biases
+
+
+def resolve_im2col(im2col: Optional[str]) -> str:
+    """Resolve an explicit/None im2col mode against the
+    ``UPSCALE_TPU_RDB_IM2COL`` env knob (a hardware winner from
+    tools/rdb_bench.py ships without a code change)."""
+    if im2col is not None:
+        mode = im2col
+    else:
+        mode = os.environ.get("UPSCALE_TPU_RDB_IM2COL", "patch9").strip()
+    if mode not in IM2COL_MODES:
+        raise ValueError(
+            f"UPSCALE_TPU_RDB_IM2COL={mode!r}; expected one of {IM2COL_MODES}"
+        )
+    return mode
 
 
 def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
@@ -120,7 +157,7 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
                 slope: float, act5: bool, res_scale: float, valid_h: int,
                 valid_w: int, has_skip: bool, add_c2_to_c4: bool,
                 canvas_out: bool = False, comb_self: float = 1.0,
-                comb_res: float = 0.0):
+                comb_res: float = 0.0, frame_mask: bool = True):
     has_res = comb_res != 0.0
     if canvas_out:
         if has_res:
@@ -236,13 +273,17 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
     # (tests/test_rdb_pallas.py) and deletes 5 iota/compare/select
     # passes per tile.  Built at full 3D shape (every masked stage is
     # GC-wide) — Mosaic rejects inserting a minor dim onto a 2D mask.
-    shape3 = (g1h, g1w, GC)
-    rows = (jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
-            + (pl.program_id(0) * th - 4))
-    cols = (jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
-            + (pl.program_id(1) * tw - 4))
-    frame_ok = ((rows >= 0) & (rows < valid_h)
-                & (cols >= 0) & (cols < valid_w))
+    # ``frame_mask=False`` is an ABLATION knob (tools/rdb_bench.py):
+    # it prices the mask by skipping it — numerically wrong at frame
+    # borders, never a product path.
+    if frame_mask:
+        shape3 = (g1h, g1w, GC)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+                + (pl.program_id(0) * th - 4))
+        cols = (jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+                + (pl.program_id(1) * tw - 4))
+        frame_ok = ((rows >= 0) & (rows < valid_h)
+                    & (cols >= 0) & (cols < valid_w))
 
     c2_keep = None  # post-skip c2, re-added into c4 (Valar Add_14)
     for s in range(5):
@@ -267,7 +308,8 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             if s == 4 and add_c2_to_c4:
                 # Valar Add_14: c4 = lrelu(conv12) + c2 (post-skip value)
                 val = val + c2_keep
-            val = jnp.where(frame_ok, val, jnp.zeros_like(val))
+            if frame_mask:
+                val = jnp.where(frame_ok, val, jnp.zeros_like(val))
             if s == 2:
                 c2_keep = val
             # place the G1-grid source back into window coords (zero
@@ -277,13 +319,36 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             )
 
         m = g1h * g1w
-        patches = jnp.concatenate(
-            [canvas[a : a + g1h, 3 + b : 3 + b + g1w, :cs].reshape(m, cs)
-             for a in range(3) for b in range(3)],
-            axis=-1,
-        )
-        contrib = jnp.dot(patches, wmats[s][:, :],
-                          preferred_element_type=jnp.float32)
+        if len(wmats[s].shape) == 3:
+            # row3 im2col: ONE 3-column-shift buffer, then three
+            # row-grouped dots (K = 3*cs) accumulated in f32.  The dy
+            # shift is a free outer-dim slice of colcat, so the
+            # sublane-shifted copy volume drops from 9 to 3 per stage —
+            # the round-5 ledger's prime VPU suspect.  For cs=32 the
+            # padded MXU cost is unchanged (3 x K96->128 = today's
+            # K288->384); for cs=64 it pads K192->256 (1.33x on s=0),
+            # which is why row3h keeps patch9 there.
+            colcat = jnp.concatenate(
+                [canvas[:, 3 + b : 3 + b + g1w, :cs] for b in range(3)],
+                axis=-1,
+            )  # (g1h+2, g1w, 3*cs)
+            wrow = wmats[s][:, :, :]
+            total = None
+            for a in range(3):
+                part = jnp.dot(
+                    colcat[a : a + g1h].reshape(m, 3 * cs), wrow[a],
+                    preferred_element_type=jnp.float32,
+                )
+                total = part if total is None else total + part
+            contrib = total
+        else:
+            patches = jnp.concatenate(
+                [canvas[a : a + g1h, 3 + b : 3 + b + g1w, :cs].reshape(m, cs)
+                 for a in range(3) for b in range(3)],
+                axis=-1,
+            )
+            contrib = jnp.dot(patches, wmats[s][:, :],
+                              preferred_element_type=jnp.float32)
         contribs.append(
             contrib.reshape(g1h, g1w, contrib.shape[-1]).astype(jnp.bfloat16)
         )
@@ -334,6 +399,8 @@ def rdb_apply(
     skip_b=None,
     add_c2_to_c4: bool = False,
     interpret: Optional[bool] = None,
+    im2col: Optional[str] = None,
+    frame_mask: bool = True,
 ) -> jnp.ndarray:
     """One fused RDB over an (H, W, 64) bf16/f32 image; returns (H, W, 64)
     bf16.  ``ws``/``bs``: the five conv weights/biases (HWIO).
@@ -345,11 +412,14 @@ def rdb_apply(
     ``tile_h`` defaults to ``UPSCALE_TPU_RDB_TILE_H`` (else the
     :func:`auto_tile_h` exact-fit policy — the round-4 measured winner)
     so a geometry-specific winner from tools/rdb_bench.py ships without
-    a code change; the env value ``auto`` selects the policy explicitly."""
+    a code change; the env value ``auto`` selects the policy explicitly.
+    ``im2col`` defaults to ``UPSCALE_TPU_RDB_IM2COL`` (see
+    :func:`pack_rdb_weights`); ``frame_mask=False`` is the rdb_bench
+    ablation knob, never a product path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tile_h = resolve_tile_h(tile_h)
-    wmats, biases = pack_rdb_weights(ws, bs)
+    wmats, biases = pack_rdb_weights(ws, bs, resolve_im2col(im2col))
     has_skip = skip_w is not None
     if has_skip:
         wsk = jnp.asarray(skip_w, jnp.float32).reshape(NF, GC)
@@ -361,7 +431,7 @@ def rdb_apply(
         bsk = jnp.zeros((1, GC), jnp.float32)
     return _rdb_run(x, tuple(wmats), tuple(biases), wsk, bsk, tile_h,
                     tile_w, slope, act5, res_scale, has_skip,
-                    add_c2_to_c4, interpret)
+                    add_c2_to_c4, frame_mask, interpret)
 
 
 def resolve_tile_h(tile_h: Optional[int]) -> int:
@@ -405,13 +475,14 @@ def canvas_geometry(hgt: int, wid: int, tile_h: int = 0,
     w8 = round_up(wid, 8)
     tw = w8 if w8 <= max(tile_w, 512) else min(tile_w, w8)
     fit = th
-    while fit > 8 and est_vmem_bytes(fit, tw) > VMEM_LIMIT_BYTES:
+    limit = vmem_limit_bytes()
+    while fit > 8 and est_vmem_bytes(fit, tw) > limit:
         fit -= 8
     if fit != th:
         warnings.warn(
             f"RDB kernel tile {th}x{tw} estimated at "
             f"{est_vmem_bytes(th, tw) / 2**20:.0f} MiB VMEM (budget "
-            f"{VMEM_LIMIT_BYTES / 2**20:.0f}) — clamping tile_h to {fit} "
+            f"{limit / 2**20:.0f}) — clamping tile_h to {fit} "
             "instead of a multi-minute compile into RESOURCE_EXHAUSTED",
             stacklevel=2,
         )
@@ -459,6 +530,7 @@ def rdb_apply_canvas(
     res_canvas: Optional[jnp.ndarray] = None,
     comb_self: float = 1.0,
     comb_res: float = 0.0,
+    im2col: Optional[str] = None,
 ) -> jnp.ndarray:
     """One fused RDB, canvas to canvas: reads an (hp, wp, 128) bf16
     canvas (see :func:`rdb_canvas_embed`), returns a NEW canvas whose
@@ -477,7 +549,7 @@ def rdb_apply_canvas(
     ``Eltwise 0=1 -23301=2,0.2,1.0``) without its own canvas pass."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    wmats, biases = pack_rdb_weights(ws, bs)
+    wmats, biases = pack_rdb_weights(ws, bs, resolve_im2col(im2col))
     has_skip = skip_w is not None
     if has_skip:
         wsk = jnp.asarray(skip_w, jnp.float32).reshape(NF, GC)
@@ -518,7 +590,7 @@ def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
         ),
         grid=(gy, gx),
         in_specs=[
-            *[pl.BlockSpec(wm.shape, lambda i, j: (0, 0),
+            *[pl.BlockSpec(wm.shape, lambda i, j, n=wm.ndim: (0,) * n,
                            memory_space=pltpu.VMEM) for wm in wmats],
             *[pl.BlockSpec(b.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM) for b in biases],
@@ -539,7 +611,7 @@ def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
             *res_scratch,
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(*wmats, *biases, wsk, bsk, buf, *res_ops)
@@ -548,10 +620,10 @@ def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "slope", "act5", "res_scale",
-                     "has_skip", "add_c2_to_c4", "interpret"),
+                     "has_skip", "add_c2_to_c4", "frame_mask", "interpret"),
 )
 def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
-             res_scale, has_skip, add_c2_to_c4, interpret):
+             res_scale, has_skip, add_c2_to_c4, frame_mask, interpret):
     hgt, wid, _ = x.shape
     th, tw, gy, gx, hp, wp = canvas_geometry(hgt, wid, tile_h, tile_w)
 
@@ -565,10 +637,11 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
             has_skip=has_skip, add_c2_to_c4=add_c2_to_c4,
+            frame_mask=frame_mask,
         ),
         grid=(gy, gx),
         in_specs=[
-            *[pl.BlockSpec(wm.shape, lambda i, j: (0, 0),
+            *[pl.BlockSpec(wm.shape, lambda i, j, n=wm.ndim: (0,) * n,
                            memory_space=pltpu.VMEM) for wm in wmats],
             *[pl.BlockSpec(b.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM) for b in biases],
@@ -589,7 +662,7 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+            vmem_limit_bytes=vmem_limit_bytes(),
         ),
         interpret=interpret,
     )(*wmats, *biases, wsk, bsk, buf)
