@@ -564,7 +564,7 @@ def test_executor_fuses_rrdb_combine(rng, monkeypatch):
     np.testing.assert_allclose(a, b, atol=0.06)
 
 
-@pytest.mark.parametrize("im2col", ["row3", "row3h"])
+@pytest.mark.parametrize("im2col", ["row3", "row3h", "pack12"])
 def test_rdb_im2col_variants_match(rng, im2col):
     """The row-grouped im2col formulations (3 accumulated K=3*cs dots per
     stage from ONE column-shift buffer — the round-5 VPU lever) compute
@@ -586,7 +586,7 @@ def test_rdb_im2col_variants_match(rng, im2col):
     np.testing.assert_allclose(got, want, atol=0.05)
 
 
-@pytest.mark.parametrize("im2col", ["row3", "row3h"])
+@pytest.mark.parametrize("im2col", ["row3", "row3h", "pack12"])
 def test_rdb_im2col_valar_variant(rng, im2col):
     """Valar hooks (1x1 x-skip into c2, c2-into-c4) under the row-grouped
     im2col modes."""
@@ -617,7 +617,8 @@ def test_rdb_im2col_env_knob(rng, monkeypatch):
         rdb_apply(x, ws, bs, **kw)
 
 
-def test_rdb_canvas_chain_im2col_variant(rng):
+@pytest.mark.parametrize("mode", ["row3h", "pack12"])
+def test_rdb_canvas_chain_im2col_variant(rng, mode):
     """The canvas-resident chain (the product '-m r' path) accepts the
     im2col modes and matches the plain-call chain."""
     from upscale_video_tpu.ops.rdb_pallas import (
@@ -632,15 +633,15 @@ def test_rdb_canvas_chain_im2col_variant(rng):
     ws2, bs2 = _make_rdb_weights(rng)
 
     a1 = rdb_apply(x, ws1, bs1, tile_h=16, tile_w=32, interpret=True,
-                   im2col="row3h")
+                   im2col=mode)
     a2 = rdb_apply(jnp.asarray(a1, jnp.bfloat16), ws2, bs2, tile_h=16,
-                   tile_w=32, interpret=True, im2col="row3h")
+                   tile_w=32, interpret=True, im2col=mode)
 
     buf = rdb_canvas_embed(x, geom)
     buf = rdb_apply_canvas(buf, ws1, bs1, geom, h, w, interpret=True,
-                           im2col="row3h")
+                           im2col=mode)
     buf = rdb_apply_canvas(buf, ws2, bs2, geom, h, w, interpret=True,
-                           im2col="row3h")
+                           im2col=mode)
     b2 = rdb_canvas_extract(buf, h, w)
     np.testing.assert_array_equal(np.asarray(a1, np.float32).dtype,
                                   np.float32)

@@ -98,7 +98,7 @@ def est_vmem_bytes(th: int, tw: int) -> int:
     return out_window + scratch + int(2.5 * patches)
 
 
-IM2COL_MODES = ("patch9", "row3", "row3h")
+IM2COL_MODES = ("patch9", "row3", "row3h", "pack12")
 
 
 def pack_rdb_weights(ws: Sequence, bs: Sequence, im2col: str = "patch9"):
@@ -116,21 +116,63 @@ def pack_rdb_weights(ws: Sequence, bs: Sequence, im2col: str = "patch9"):
     ``"row3h"`` (hybrid) keeps patch9 for source 0 — its K=9*64=576 is
     MXU-exact, which the 3-dot split would pad 192->256 — and row3 for
     sources 1..4, whose K=288 pads to 384 either way.
+
+    ``"pack12"`` is the round-5 K-pad lever (NOTES ledger item 2): c1's
+    solo dot shrinks to its ONE real target (c2: K=288->384 padded but
+    N=32->128 instead of N=160->256), and once c2 exists the pair
+    [c1,c2] feeds c3/c4/c5 as ONE 64-channel patch9 dot — K=9*64=576
+    and N=32+32+64=128, both MXU-EXACT (the padded MXU volume of
+    stages 1+2 drops 147456 -> 122880 units/row, 1.2x).  Sources 0/2
+    are patch9 (576-exact K), sources 1/3/4 row3 (their K pads either
+    way; row3 cuts their copy volume).  wmats[2] is the packed pair
+    matrix; the kernel consumes it with ``pack12=True``.
     """
     if im2col not in IM2COL_MODES:
         raise ValueError(f"im2col={im2col!r}; expected one of {IM2COL_MODES}")
-    wmats = []
-    for s in range(5):  # source 0 = x (64 ch), sources 1..4 = c1..c4 (32 ch)
-        cs = NF if s == 0 else GC
-        off = 0 if s == 0 else NF + (s - 1) * GC
-        parts = [
-            jnp.asarray(ws[t][:, :, off : off + cs, :], jnp.float32)
-            for t in range(s, 5)
-        ]
-        cat = jnp.concatenate(parts, axis=-1)  # (3,3,cs,N_s)
-        row3 = im2col == "row3" or (im2col == "row3h" and s > 0)
-        shape = (3, 3 * cs, cat.shape[-1]) if row3 else (9 * cs, cat.shape[-1])
-        wmats.append(jnp.asarray(cat.reshape(shape), jnp.bfloat16))
+    if im2col == "pack12":
+        f32 = jnp.float32
+
+        def row3_w(cat):
+            return jnp.asarray(
+                cat.reshape(3, 3 * cat.shape[-2], cat.shape[-1]),
+                jnp.bfloat16)
+
+        def patch9_w(cat):
+            return jnp.asarray(
+                cat.reshape(9 * cat.shape[-2], cat.shape[-1]), jnp.bfloat16)
+
+        # x -> every target (patch9, K=576 exact)
+        cat0 = jnp.concatenate(
+            [jnp.asarray(ws[t][:, :, 0:NF, :], f32) for t in range(5)], -1)
+        # c1 -> c2 ONLY (row3)
+        cat1 = jnp.asarray(ws[1][:, :, NF : NF + GC, :], f32)
+        # [c1, c2] -> c3, c4, c5 (patch9, K=576 / N=128 exact)
+        cat12 = jnp.concatenate(
+            [jnp.asarray(ws[t][:, :, NF : NF + 2 * GC, :], f32)
+             for t in range(2, 5)], -1)
+        # c3 -> c4, c5 (row3)
+        cat3 = jnp.concatenate(
+            [jnp.asarray(ws[t][:, :, NF + 2 * GC : NF + 3 * GC, :], f32)
+             for t in range(3, 5)], -1)
+        # c4 -> c5 (row3)
+        cat4 = jnp.asarray(ws[4][:, :, NF + 3 * GC : NF + 4 * GC, :], f32)
+        wmats = [patch9_w(cat0), row3_w(cat1), patch9_w(cat12),
+                 row3_w(cat3), row3_w(cat4)]
+    else:
+        wmats = []
+        # source 0 = x (64 ch), sources 1..4 = c1..c4 (32 ch)
+        for s in range(5):
+            cs = NF if s == 0 else GC
+            off = 0 if s == 0 else NF + (s - 1) * GC
+            parts = [
+                jnp.asarray(ws[t][:, :, off : off + cs, :], jnp.float32)
+                for t in range(s, 5)
+            ]
+            cat = jnp.concatenate(parts, axis=-1)  # (3,3,cs,N_s)
+            row3 = im2col == "row3" or (im2col == "row3h" and s > 0)
+            shape = ((3, 3 * cs, cat.shape[-1]) if row3
+                     else (9 * cs, cat.shape[-1]))
+            wmats.append(jnp.asarray(cat.reshape(shape), jnp.bfloat16))
     biases = [
         jnp.asarray(b, jnp.float32).reshape(1, -1) for b in bs
     ]
@@ -157,7 +199,8 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
                 slope: float, act5: bool, res_scale: float, valid_h: int,
                 valid_w: int, has_skip: bool, add_c2_to_c4: bool,
                 canvas_out: bool = False, comb_self: float = 1.0,
-                comb_res: float = 0.0, frame_mask: bool = True):
+                comb_res: float = 0.0, frame_mask: bool = True,
+                pack12: bool = False):
     has_res = comb_res != 0.0
     if canvas_out:
         if has_res:
@@ -246,17 +289,21 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
         """Column offset of target jt within source sc's wide output."""
         return sum(widths[t] for t in range(sc, jt))
 
-    contribs = []  # per source: (g1h, g1w, N_s) bf16, all on G1
+    # per dot: ((g1h, g1w, N) bf16 on G1, first target, last target).
+    # Normal modes: entry s covers targets s..4; pack12 narrows c1's
+    # entry to target 1 and adds the [c1,c2] pair entry covering 2..4.
+    contribs = []
 
     def read_target(jt, sh, sw, goff):
         """Sum of contributions to target jt over a (sh, sw) region at
         offset ``goff`` within G1 (f32 accumulation; one bf16 rounding per
         piece — the XLA scatter path's own piece-buffer contract)."""
         total = None
-        for sc in range(jt + 1):
-            c3 = contribs[sc]
+        for c3, ft, lt in contribs:
+            if not ft <= jt <= lt:
+                continue
             piece = c3[goff : goff + sh, goff : goff + sw,
-                       col_off(sc, jt) : col_off(sc, jt) + widths[jt]]
+                       col_off(ft, jt) : col_off(ft, jt) + widths[jt]]
             piece = piece.astype(jnp.float32)
             total = piece if total is None else total + piece
         return total
@@ -286,6 +333,7 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
                     & (cols >= 0) & (cols < valid_w))
 
     c2_keep = None  # post-skip c2, re-added into c4 (Valar Add_14)
+    c1_canvas = None  # pack12: c1's canvas, re-read for the pair dot
     for s in range(5):
         if s == 0:
             cs = NF
@@ -317,6 +365,15 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             canvas = jnp.pad(
                 val.astype(jnp.bfloat16), ((1, 1), (4, 4), (0, 0))
             )
+            if pack12 and s == 1:
+                c1_canvas = canvas
+        if pack12 and s == 2:
+            # the round-5 K-pad lever: one 64-channel [c1,c2] patch9 dot
+            # (K=9*64=576 and N=32+32+64=128, both MXU-exact) feeds
+            # c3/c4/c5; c1's solo dot above covered only c2 (see
+            # pack_rdb_weights)
+            canvas = jnp.concatenate([c1_canvas, canvas], axis=-1)
+            cs = 2 * GC
 
         m = g1h * g1w
         if len(wmats[s].shape) == 3:
@@ -349,9 +406,14 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             )
             contrib = jnp.dot(patches, wmats[s][:, :],
                               preferred_element_type=jnp.float32)
-        contribs.append(
-            contrib.reshape(g1h, g1w, contrib.shape[-1]).astype(jnp.bfloat16)
-        )
+        # pack12 target spans: c1's entry covers only c2; the pair entry
+        # (s=2) covers c3..c5 with first_t=2 so col_off lands on target
+        # offsets 0/32/64 inside its packed N=128
+        last_t = 1 if (pack12 and s == 1) else 4
+        contribs.append((
+            contrib.reshape(g1h, g1w, contrib.shape[-1]).astype(jnp.bfloat16),
+            s, last_t,
+        ))
 
     # c5 on G5 == the tile center; out = x_center + 0.2 * c5
     c5 = read_target(4, th, tw, 4) + biases[4][0, :]
@@ -419,7 +481,8 @@ def rdb_apply(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tile_h = resolve_tile_h(tile_h)
-    wmats, biases = pack_rdb_weights(ws, bs, resolve_im2col(im2col))
+    mode = resolve_im2col(im2col)
+    wmats, biases = pack_rdb_weights(ws, bs, mode)
     has_skip = skip_w is not None
     if has_skip:
         wsk = jnp.asarray(skip_w, jnp.float32).reshape(NF, GC)
@@ -431,7 +494,7 @@ def rdb_apply(
         bsk = jnp.zeros((1, GC), jnp.float32)
     return _rdb_run(x, tuple(wmats), tuple(biases), wsk, bsk, tile_h,
                     tile_w, slope, act5, res_scale, has_skip,
-                    add_c2_to_c4, frame_mask, interpret)
+                    add_c2_to_c4, frame_mask, mode == "pack12", interpret)
 
 
 def resolve_tile_h(tile_h: Optional[int]) -> int:
@@ -549,7 +612,8 @@ def rdb_apply_canvas(
     ``Eltwise 0=1 -23301=2,0.2,1.0``) without its own canvas pass."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    wmats, biases = pack_rdb_weights(ws, bs, resolve_im2col(im2col))
+    mode = resolve_im2col(im2col)
+    wmats, biases = pack_rdb_weights(ws, bs, mode)
     has_skip = skip_w is not None
     if has_skip:
         wsk = jnp.asarray(skip_w, jnp.float32).reshape(NF, GC)
@@ -564,18 +628,19 @@ def rdb_apply_canvas(
     return _rdb_run_canvas(
         buf, res_canvas, tuple(wmats), tuple(biases), wsk, bsk,
         tuple(geom), hgt, wid, slope, act5, res_scale, has_skip,
-        add_c2_to_c4, float(comb_self), float(comb_res), interpret)
+        add_c2_to_c4, float(comb_self), float(comb_res),
+        mode == "pack12", interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "hgt", "wid", "slope", "act5", "res_scale",
                      "has_skip", "add_c2_to_c4", "comb_self", "comb_res",
-                     "interpret"),
+                     "pack12", "interpret"),
 )
 def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
                     wid, slope, act5, res_scale, has_skip, add_c2_to_c4,
-                    comb_self, comb_res, interpret):
+                    comb_self, comb_res, pack12, interpret):
     th, tw, gy, gx, hp, wp = geom
     has_res = comb_res != 0.0
     res_ops = (res_canvas,) if has_res else ()
@@ -586,7 +651,7 @@ def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
             has_skip=has_skip, add_c2_to_c4=add_c2_to_c4, canvas_out=True,
-            comb_self=comb_self, comb_res=comb_res,
+            comb_self=comb_self, comb_res=comb_res, pack12=pack12,
         ),
         grid=(gy, gx),
         in_specs=[
@@ -620,10 +685,12 @@ def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_h", "tile_w", "slope", "act5", "res_scale",
-                     "has_skip", "add_c2_to_c4", "frame_mask", "interpret"),
+                     "has_skip", "add_c2_to_c4", "frame_mask", "pack12",
+                     "interpret"),
 )
 def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
-             res_scale, has_skip, add_c2_to_c4, frame_mask, interpret):
+             res_scale, has_skip, add_c2_to_c4, frame_mask, pack12,
+             interpret):
     hgt, wid, _ = x.shape
     th, tw, gy, gx, hp, wp = canvas_geometry(hgt, wid, tile_h, tile_w)
 
@@ -637,7 +704,7 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
             has_skip=has_skip, add_c2_to_c4=add_c2_to_c4,
-            frame_mask=frame_mask,
+            frame_mask=frame_mask, pack12=pack12,
         ),
         grid=(gy, gx),
         in_specs=[
