@@ -85,6 +85,10 @@ def main():
                         "contract (flat I420 in, packed 4:2:0 out)")
     p.add_argument("--batch", type=int, default=1,
                    help="frames per step (the shipped Compact default is 4)")
+    p.add_argument("--compile_budget", type=float, default=0,
+                   help="seconds; a compile exceeding this aborts the "
+                        "process (exit 3) with a report instead of "
+                        "hanging the session (0 = unbounded)")
     args = p.parse_args()
 
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
@@ -136,8 +140,27 @@ def main():
 
     c1, c2 = chained(args.k1), chained(args.k2)
     print("compiling...", file=sys.stderr, flush=True)
+    if args.compile_budget > 0:
+        import threading
+
+        done = threading.Event()
+        t0 = time.perf_counter()
+
+        def watchdog():
+            if not done.wait(args.compile_budget):
+                print(f"[compile-budget] exceeded {args.compile_budget:.0f}s "
+                      f"(elapsed {time.perf_counter() - t0:.0f}s) — "
+                      "aborting; record this geometry as "
+                      "compile-pathological", flush=True)
+                os._exit(3)
+
+        threading.Thread(target=watchdog, daemon=True).start()
+    tc = time.perf_counter()
     int(c1(x))
     int(c2(x))
+    if args.compile_budget > 0:
+        done.set()
+    print(f"compile {time.perf_counter() - tc:.1f}s", flush=True)
 
     def timed(f):
         t0 = time.perf_counter()
