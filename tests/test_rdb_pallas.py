@@ -140,6 +140,25 @@ def test_executor_rdb_integration(rng):
     np.testing.assert_allclose(a, b, atol=0.06)
 
 
+def test_executor_rdb_honors_im2col_env(rng, monkeypatch):
+    """UPSCALE_TPU_RDB_IM2COL reaches the executor's canvas-chain path
+    (the product '-m r' route calls rdb_apply_canvas with no explicit
+    im2col): a hardware winner ships by exporting the env var."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import build_forward
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = make_rrdb_graph(scale=4, num_rrdb=1)
+    params = synthesize_weights(g, seed=0)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    monkeypatch.setenv("UPSCALE_TPU_RDB_IM2COL", "pack12")
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 14, 18, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    np.testing.assert_allclose(a, b, atol=0.06)
+
+
 def _insert_ncnn_splits(g):
     """ncnn-ify a synthetic graph: every blob with more than one consumer
     gets a Split layer fanning out one alias per consumer — the exact
