@@ -18,14 +18,30 @@ mark "hw_queue(r5) start"
 
 # 1. RDB kernel ablation at the SHIPPED 576x512/th=48 geometry (VERDICT
 #    #1: split the ~2x VPU overhead — 192 ms measured vs ~96 ms MXU
-#    floor).  nomask prices the frame mask; row3h/row3 price the im2col
-#    patch copies (3 sublane-shifted copies per stage instead of 9).
-#    Parity of each non-nomask impl vs xla-scatter rides along.
-mark "rdb_ablate start"
-timeout 10800 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
-    --impls xla-scatter,rdb:48,rdb:48:nomask,rdb:48:row3h,rdb:48:row3 \
-    --reps 3 --compile_budget 2400 > "$R/rdb_ablate_r5.log" 2>&1
-mark "rdb_ablate rc=$?"
+#    floor; VERDICT #2: the pack12 K-pad lever).  nomask prices the
+#    frame mask; row3h/row3 price the im2col patch copies (3
+#    sublane-shifted copies per stage instead of 9); pack12 removes the
+#    K=288->384 pad on stages 3-5.  Parity of each non-nomask impl vs
+#    xla-scatter rides along.
+#    SPLIT into three invocations so one compile-budget abort can't lose
+#    every arm's timings (rdb_bench compiles ALL impls before timing
+#    any): the baseline pair rides in each — xla-scatter compiles in
+#    seconds and rdb:48 is persistent-cache-warm after invocation (a).
+mark "rdb_ablate_a(mask) start"
+timeout 7200 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+    --impls xla-scatter,rdb:48,rdb:48:nomask \
+    --reps 3 --compile_budget 2400 > "$R/rdb_ablate_a_r5.log" 2>&1
+mark "rdb_ablate_a rc=$?"
+mark "rdb_ablate_b(pack12) start"
+timeout 7200 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+    --impls xla-scatter,rdb:48,rdb:48:pack12 \
+    --reps 3 --compile_budget 2400 > "$R/rdb_ablate_b_r5.log" 2>&1
+mark "rdb_ablate_b rc=$?"
+mark "rdb_ablate_c(row3) start"
+timeout 9000 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+    --impls xla-scatter,rdb:48,rdb:48:row3h,rdb:48:row3 \
+    --reps 3 --compile_budget 2400 > "$R/rdb_ablate_c_r5.log" 2>&1
+mark "rdb_ablate_c rc=$?"
 
 # 2. Ragged-vs-exact compile-time control (VERDICT #3): same row-count
 #    class, th=32, cold cache each run, alternating order so tunnel
