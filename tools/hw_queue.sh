@@ -9,6 +9,10 @@
 # phase-1 results — the winner selection needs a human/agent in the loop.
 set -u
 cd "$(dirname "$0")/.."
+# Host resets wipe the editable install; scripts under tools/ then can't
+# import the package (script dir != repo root).  PREPEND the repo root —
+# never overwrite PYTHONPATH, the axon PJRT plugin rides it (NOTES r4s4).
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 export UPSCALE_TPU_MODEL_PATH=${UPSCALE_TPU_MODEL_PATH:-/root/reference/models}
 R=.hwlogs
 mkdir -p "$R"
