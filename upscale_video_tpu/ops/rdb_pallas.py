@@ -379,21 +379,29 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
         if len(wmats[s].shape) == 3:
             # row3 im2col: ONE 3-column-shift buffer, then three
             # row-grouped dots (K = 3*cs) accumulated in f32.  The dy
-            # shift is a free outer-dim slice of colcat, so the
-            # sublane-shifted copy volume drops from 9 to 3 per stage —
-            # the round-5 ledger's prime VPU suspect.  For cs=32 the
-            # padded MXU cost is unchanged (3 x K96->128 = today's
-            # K288->384); for cs=64 it pads K192->256 (1.33x on s=0),
-            # which is why row3h keeps patch9 there.
+            # shift is a sublane-aligned row slice of colcat (row stride
+            # g1w is 8-aligned), so the sublane-shifted copy volume drops
+            # from 9 to 3 per stage — the round-5 ledger's prime VPU
+            # suspect.  For cs=32 the padded MXU cost is unchanged
+            # (3 x K96->128 = today's K288->384); for cs=64 it pads
+            # K192->256 (1.33x on s=0), which is why row3h keeps patch9
+            # there.  The concat inputs are reshaped to 2D FIRST — the
+            # same lowering pattern the shipped patch9 branch uses:
+            # concatenating the raw 3D column-shift slices carries
+            # mismatched sublane offsets (3/4/5) into tpu.concatenate,
+            # which Mosaic rejects on hardware ("result/input offset
+            # mismatch on non-concat dimension", .hwlogs/rdb_ablate_b/c
+            # round 5) while interpret mode passes.
             colcat = jnp.concatenate(
-                [canvas[:, 3 + b : 3 + b + g1w, :cs] for b in range(3)],
+                [canvas[:, 3 + b : 3 + b + g1w, :cs].reshape(
+                    (g1h + 2) * g1w, cs) for b in range(3)],
                 axis=-1,
-            )  # (g1h+2, g1w, 3*cs)
+            )  # ((g1h+2)*g1w, 3*cs), row-major over the shared canvas
             wrow = wmats[s][:, :, :]
             total = None
             for a in range(3):
                 part = jnp.dot(
-                    colcat[a : a + g1h].reshape(m, 3 * cs), wrow[a],
+                    colcat[a * g1w : a * g1w + m], wrow[a],
                     preferred_element_type=jnp.float32,
                 )
                 total = part if total is None else total + part
