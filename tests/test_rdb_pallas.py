@@ -679,3 +679,82 @@ def test_rdb_frame_mask_ablation_knob(rng):
     b = np.asarray(rdb_apply(x, ws, bs, frame_mask=False, **kw),
                    dtype=np.float32)
     np.testing.assert_allclose(a[6:-6, 6:-6], b[6:-6, 6:-6], atol=1e-6)
+
+
+@pytest.mark.parametrize("hw,tile", [((32, 24), (16, 24)),
+                                     ((32, 20), (16, 24)),
+                                     ((48, 37), (16, 40))])
+def test_rdb_slab_mask_bit_exact(rng, hw, tile):
+    """The slab frame mask (static column pad + 4-row edge-strip row
+    masking, the round-5 mask-cost lever) is BIT-exact vs the iota mask
+    on exact-fit single-column grids, including valid_w < tw."""
+    h, w_ = hw
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    kw = dict(tile_h=tile[0], tile_w=tile[1], interpret=True)
+    a = np.asarray(rdb_apply(x, ws, bs, frame_mask="iota", **kw))
+    b = np.asarray(rdb_apply(x, ws, bs, frame_mask="slab", **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("im2col", ["patch9", "row3h", "pack12"])
+def test_rdb_slab_mask_valar_variant(rng, im2col):
+    """slab x im2col cross-product on the Valar dense-block variant
+    (1x1 x-skip into c2, c2-into-c4): matches the XLA oracle."""
+    h, w_ = 32, 28
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    skip_w = jnp.asarray(rng.normal(0, 0.1, (1, 1, NF, GC)), jnp.float32)
+    got = np.asarray(rdb_apply(
+        x, ws, bs, tile_h=16, tile_w=32, skip_w=skip_w,
+        add_c2_to_c4=True, interpret=True, im2col=im2col,
+        frame_mask="slab",
+    )).astype(np.float32)
+    want = np.asarray(_xla_valar_rdb(x, ws, bs, skip_w)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.06)
+
+
+def test_rdb_slab_mask_ragged_fallback(rng):
+    """An explicit slab request on a ragged grid (out-of-frame rows can
+    reach past the edge strips there) warns and falls back to iota."""
+    h, w_ = 30, 24  # gy=2, 2*16=32 != 30 -> ragged
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w_, NF)), jnp.float32)
+    ws, bs = _make_rdb_weights(rng)
+    kw = dict(tile_h=16, tile_w=24, interpret=True)
+    a = np.asarray(rdb_apply(x, ws, bs, frame_mask="iota", **kw))
+    with pytest.warns(UserWarning, match="slab frame mask"):
+        b = np.asarray(rdb_apply(x, ws, bs, frame_mask="slab", **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rdb_slab_mask_env_and_canvas(rng, monkeypatch):
+    """UPSCALE_TPU_RDB_MASK engages slab on the canvas-chain path (the
+    product '-m r' route) without a code change; auto picks slab only on
+    exact-fit single-column grids."""
+    from upscale_video_tpu.ops.rdb_pallas import (
+        canvas_geometry, rdb_apply_canvas, rdb_canvas_embed,
+        rdb_canvas_extract, resolve_mask_mode,
+    )
+
+    assert resolve_mask_mode("auto", 16, 24, 32, 24) == "slab"
+    assert resolve_mask_mode("auto", 16, 24, 30, 24) == "iota"
+    assert resolve_mask_mode("auto", 16, 24, 32, 50) == "iota"  # gx=3
+
+    h, w = 32, 24
+    geom = canvas_geometry(h, w, 16, 32)
+    x = jnp.asarray(rng.normal(0, 0.5, (h, w, NF)), jnp.bfloat16)
+    ws1, bs1 = _make_rdb_weights(rng)
+    ws2, bs2 = _make_rdb_weights(rng)
+
+    def chain():
+        buf = rdb_canvas_embed(x, geom)
+        buf = rdb_apply_canvas(buf, ws1, bs1, geom, h, w, interpret=True)
+        buf = rdb_apply_canvas(buf, ws2, bs2, geom, h, w, interpret=True)
+        return np.asarray(rdb_canvas_extract(buf, h, w))
+
+    base = chain()
+    monkeypatch.setenv("UPSCALE_TPU_RDB_MASK", "slab")
+    np.testing.assert_array_equal(base, chain())
+    monkeypatch.setenv("UPSCALE_TPU_RDB_MASK", "banana")
+    with pytest.raises(ValueError, match="frame-mask mode"):
+        chain()

@@ -6,11 +6,13 @@ Usage: python tools/rdb_bench.py [--size 480 | HxW] [--k1 2 --k2 6]
        [--impls xla-scatter,rdb:48,rdb:48:row3h,rdb:48:nomask]
        [--compile_budget 1500] [--fresh_cache]
 
-Impl grammar: ``xla-scatter`` or ``rdb:<tile_h>[:<im2col>][:nomask]``
-where im2col is patch9 (default) / row3 / row3h (see
-ops/rdb_pallas.pack_rdb_weights) and ``nomask`` drops the frame mask —
-the round-5 VPU ablation (numerically wrong at frame borders; timing
-only, parity is skipped for it automatically).
+Impl grammar: ``xla-scatter`` or ``rdb:<tile_h>[:<im2col>][:<mask>]``
+where im2col is patch9 (default) / row3 / row3h / pack12 (see
+ops/rdb_pallas.pack_rdb_weights) and mask is ``iota`` (default),
+``slab`` (static column pad + 4-row edge-strip masking, exact-fit
+single-column grids only), or ``nomask`` — the round-5 VPU ablation
+(numerically wrong at frame borders; timing only, parity is skipped
+for it automatically).
 
 Compile seconds are printed per impl (the Mosaic ragged-padding
 pathology data); ``--compile_budget`` aborts the process with a report
@@ -138,6 +140,8 @@ def main():
         for flag in parts[2:]:
             if flag == "nomask":
                 frame_mask = False
+            elif flag in ("iota", "slab", "auto"):
+                frame_mask = flag
             else:
                 im2col = flag
         return lambda v, ws, bs: rdb_apply(

@@ -99,6 +99,62 @@ def est_vmem_bytes(th: int, tw: int) -> int:
 
 
 IM2COL_MODES = ("patch9", "row3", "row3h", "pack12")
+MASK_MODES = ("iota", "slab", "off")
+
+
+def slab_mask_ok(th: int, tw: int, valid_h: int, valid_w: int) -> bool:
+    """Whether the ``slab`` frame-mask mode is valid for this geometry.
+
+    ``slab`` replaces the per-stage full-surface iota/compare/select
+    frame mask (measured 0.28 ms/RDB of the 2.91 at the shipped
+    576x512/th=48 geometry — .hwlogs/rdb_ablate_a_r5.log) with (a) a
+    static column slice folded into the canvas pad and (b) row masking
+    restricted to the 4-row G1 edge strips.  That restriction is only
+    sound when out-of-frame rows cannot reach past the strips: the grid
+    must fit the height EXACTLY (ragged last tiles put out-of-frame rows
+    arbitrarily deep into G1) and there must be a single tile column
+    (the column slice is static only when j == 0 always).  The shipped
+    :func:`auto_tile_h` policy prefers exactly these grids.
+    """
+    gy = -(-valid_h // th)
+    gx = -(-valid_w // tw)
+    return gx == 1 and gy * th == valid_h
+
+
+def env_mask_mode(mode) -> str:
+    """Normalize a frame-mask request against the ``UPSCALE_TPU_RDB_MASK``
+    env knob (a hardware winner ships without a code change).  Accepts
+    the legacy bools: True = env default, False = off (ablation only).
+    Runs OUTSIDE jit so an env change is part of the call, not baked
+    into a stale trace cache."""
+    if mode is True or mode is None:
+        # default stays "iota" until the slab hardware A/B lands (Mosaic
+        # lowering is only provable on the chip; interpret mode validates
+        # math, never lowering — NOTES round 4)
+        mode = os.environ.get("UPSCALE_TPU_RDB_MASK", "iota").strip()
+    elif mode is False:
+        mode = "off"
+    if mode != "auto" and mode not in MASK_MODES:
+        raise ValueError(
+            f"frame-mask mode {mode!r}; expected auto or one of {MASK_MODES}")
+    return mode
+
+
+def resolve_mask_mode(mode, th: int, tw: int,
+                      valid_h: int, valid_w: int) -> str:
+    """Resolve a frame-mask mode against the tile geometry: ``auto`` =
+    slab where valid, else iota; an explicit ``slab`` on an unsupported
+    geometry falls back to iota with a warning."""
+    mode = env_mask_mode(mode)
+    if mode == "auto":
+        return "slab" if slab_mask_ok(th, tw, valid_h, valid_w) else "iota"
+    if mode == "slab" and not slab_mask_ok(th, tw, valid_h, valid_w):
+        warnings.warn(
+            f"slab frame mask needs an exact-fit single-column grid; "
+            f"geometry th={th} tw={tw} valid={valid_h}x{valid_w} falls "
+            "back to iota", stacklevel=2)
+        mode = "iota"
+    return mode
 
 
 def pack_rdb_weights(ws: Sequence, bs: Sequence, im2col: str = "patch9"):
@@ -199,7 +255,7 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
                 slope: float, act5: bool, res_scale: float, valid_h: int,
                 valid_w: int, has_skip: bool, add_c2_to_c4: bool,
                 canvas_out: bool = False, comb_self: float = 1.0,
-                comb_res: float = 0.0, frame_mask: bool = True,
+                comb_res: float = 0.0, mask_mode: str = "iota",
                 pack12: bool = False):
     has_res = comb_res != 0.0
     if canvas_out:
@@ -320,10 +376,16 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
     # (tests/test_rdb_pallas.py) and deletes 5 iota/compare/select
     # passes per tile.  Built at full 3D shape (every masked stage is
     # GC-wide) — Mosaic rejects inserting a minor dim onto a 2D mask.
-    # ``frame_mask=False`` is an ABLATION knob (tools/rdb_bench.py):
-    # it prices the mask by skipping it — numerically wrong at frame
-    # borders, never a product path.
-    if frame_mask:
+    # ``mask_mode="off"`` is an ABLATION knob (tools/rdb_bench.py): it
+    # prices the mask by skipping it — numerically wrong at frame
+    # borders, never a product path.  The ablation measured the iota
+    # mask at 0.28 ms/RDB of 2.91 at the shipped 576x512/th=48 geometry
+    # (.hwlogs/rdb_ablate_a_r5.log); ``"slab"`` recovers it on exact-fit
+    # single-column grids (see :func:`slab_mask_ok`): columns fold into
+    # the canvas pad as a STATIC slice, and rows are masked only on the
+    # 4-row top/bottom G1 strips — the only places an out-of-frame row
+    # can live on such grids.
+    if mask_mode == "iota":
         shape3 = (g1h, g1w, GC)
         rows = (jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
                 + (pl.program_id(0) * th - 4))
@@ -331,6 +393,13 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
                 + (pl.program_id(1) * tw - 4))
         frame_ok = ((rows >= 0) & (rows < valid_h)
                     & (cols >= 0) & (cols < valid_w))
+    elif mask_mode == "slab":
+        srow = jax.lax.broadcasted_iota(jnp.int32, (4, g1w, GC), 0)
+        # top strip g in [0,4): data row i*th + g - 4 (only the >= 0 side
+        # can fail there on an exact-fit grid); bottom strip
+        # g in [g1h-4, g1h): data row i*th + th + (g - (g1h-4))
+        top_ok = (srow + (pl.program_id(0) * th - 4)) >= 0
+        bot_ok = (srow + (pl.program_id(0) * th + th)) < valid_h
 
     c2_keep = None  # post-skip c2, re-added into c4 (Valar Add_14)
     c1_canvas = None  # pack12: c1's canvas, re-read for the pair dot
@@ -356,15 +425,31 @@ def _rdb_kernel(wx, w1, w2, w3, w4, b1, b2, b3, b4, b5, wskip, bskip,
             if s == 4 and add_c2_to_c4:
                 # Valar Add_14: c4 = lrelu(conv12) + c2 (post-skip value)
                 val = val + c2_keep
-            if frame_mask:
+            if mask_mode == "iota":
                 val = jnp.where(frame_ok, val, jnp.zeros_like(val))
+            elif mask_mode == "slab":
+                zstrip = jnp.zeros((4, g1w, wdt), val.dtype)
+                val = jnp.concatenate([
+                    jnp.where(top_ok, val[:4], zstrip),
+                    val[4 : g1h - 4],
+                    jnp.where(bot_ok, val[g1h - 4 :], zstrip),
+                ], axis=0)
             if s == 2:
                 c2_keep = val
             # place the G1-grid source back into window coords (zero
             # surround) so every stage uses the one aligned slice pattern
-            canvas = jnp.pad(
-                val.astype(jnp.bfloat16), ((1, 1), (4, 4), (0, 0))
-            )
+            if mask_mode == "slab":
+                # static column mask folded into the pad: keep only the
+                # in-frame columns (G1 h in [4, 4+valid_w)) and widen the
+                # zero borders over the dropped out-of-frame strips
+                canvas = jnp.pad(
+                    val.astype(jnp.bfloat16)[:, 4 : 4 + valid_w, :],
+                    ((1, 1), (8, g1w - valid_w), (0, 0)),
+                )
+            else:
+                canvas = jnp.pad(
+                    val.astype(jnp.bfloat16), ((1, 1), (4, 4), (0, 0))
+                )
             if pack12 and s == 1:
                 c1_canvas = canvas
         if pack12 and s == 2:
@@ -470,7 +555,7 @@ def rdb_apply(
     add_c2_to_c4: bool = False,
     interpret: Optional[bool] = None,
     im2col: Optional[str] = None,
-    frame_mask: bool = True,
+    frame_mask=True,
 ) -> jnp.ndarray:
     """One fused RDB over an (H, W, 64) bf16/f32 image; returns (H, W, 64)
     bf16.  ``ws``/``bs``: the five conv weights/biases (HWIO).
@@ -484,8 +569,10 @@ def rdb_apply(
     so a geometry-specific winner from tools/rdb_bench.py ships without
     a code change; the env value ``auto`` selects the policy explicitly.
     ``im2col`` defaults to ``UPSCALE_TPU_RDB_IM2COL`` (see
-    :func:`pack_rdb_weights`); ``frame_mask=False`` is the rdb_bench
-    ablation knob, never a product path."""
+    :func:`pack_rdb_weights`).  ``frame_mask``: True (the
+    ``UPSCALE_TPU_RDB_MASK`` env default), a :data:`MASK_MODES` string,
+    or False — the rdb_bench mask-pricing ablation, never a product
+    path (see :func:`resolve_mask_mode`)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tile_h = resolve_tile_h(tile_h)
@@ -502,7 +589,8 @@ def rdb_apply(
         bsk = jnp.zeros((1, GC), jnp.float32)
     return _rdb_run(x, tuple(wmats), tuple(biases), wsk, bsk, tile_h,
                     tile_w, slope, act5, res_scale, has_skip,
-                    add_c2_to_c4, frame_mask, mode == "pack12", interpret)
+                    add_c2_to_c4, env_mask_mode(frame_mask),
+                    mode == "pack12", interpret)
 
 
 def resolve_tile_h(tile_h: Optional[int]) -> int:
@@ -602,6 +690,7 @@ def rdb_apply_canvas(
     comb_self: float = 1.0,
     comb_res: float = 0.0,
     im2col: Optional[str] = None,
+    frame_mask=True,
 ) -> jnp.ndarray:
     """One fused RDB, canvas to canvas: reads an (hp, wp, 128) bf16
     canvas (see :func:`rdb_canvas_embed`), returns a NEW canvas whose
@@ -633,22 +722,23 @@ def rdb_apply_canvas(
         bsk = jnp.zeros((1, GC), jnp.float32)
     if res_canvas is None:
         comb_self, comb_res = 1.0, 0.0
+    mask_mode = resolve_mask_mode(frame_mask, geom[0], geom[1], hgt, wid)
     return _rdb_run_canvas(
         buf, res_canvas, tuple(wmats), tuple(biases), wsk, bsk,
         tuple(geom), hgt, wid, slope, act5, res_scale, has_skip,
         add_c2_to_c4, float(comb_self), float(comb_res),
-        mode == "pack12", interpret)
+        mask_mode, mode == "pack12", interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "hgt", "wid", "slope", "act5", "res_scale",
                      "has_skip", "add_c2_to_c4", "comb_self", "comb_res",
-                     "pack12", "interpret"),
+                     "mask_mode", "pack12", "interpret"),
 )
 def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
                     wid, slope, act5, res_scale, has_skip, add_c2_to_c4,
-                    comb_self, comb_res, pack12, interpret):
+                    comb_self, comb_res, mask_mode, pack12, interpret):
     th, tw, gy, gx, hp, wp = geom
     has_res = comb_res != 0.0
     res_ops = (res_canvas,) if has_res else ()
@@ -659,7 +749,8 @@ def _rdb_run_canvas(buf, res_canvas, wmats, biases, wsk, bsk, geom, hgt,
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
             has_skip=has_skip, add_c2_to_c4=add_c2_to_c4, canvas_out=True,
-            comb_self=comb_self, comb_res=comb_res, pack12=pack12,
+            comb_self=comb_self, comb_res=comb_res, mask_mode=mask_mode,
+            pack12=pack12,
         ),
         grid=(gy, gx),
         in_specs=[
@@ -701,6 +792,7 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
              interpret):
     hgt, wid, _ = x.shape
     th, tw, gy, gx, hp, wp = canvas_geometry(hgt, wid, tile_h, tile_w)
+    mask_mode = resolve_mask_mode(frame_mask, th, tw, hgt, wid)
 
     buf = jnp.zeros((hp, wp, LANES), jnp.bfloat16)
     x128 = jnp.pad(x.astype(jnp.bfloat16),
@@ -712,7 +804,7 @@ def _rdb_run(x, wmats, biases, wsk, bsk, tile_h, tile_w, slope, act5,
             _rdb_kernel, th=th, tw=tw, slope=slope, act5=act5,
             res_scale=res_scale, valid_h=hgt, valid_w=wid,
             has_skip=has_skip, add_c2_to_c4=add_c2_to_c4,
-            frame_mask=frame_mask, pack12=pack12,
+            mask_mode=mask_mode, pack12=pack12,
         ),
         grid=(gy, gx),
         in_specs=[
