@@ -9,6 +9,7 @@
 # phase-1 results — the winner selection needs a human/agent in the loop.
 set -u
 cd "$(dirname "$0")/.."
+PHASE="${1:-1}"
 # Host resets wipe the editable install; scripts under tools/ then can't
 # import the package (script dir != repo root).  PREPEND the repo root —
 # never overwrite PYTHONPATH, the axon PJRT plugin rides it (NOTES r4s4).
@@ -17,6 +18,34 @@ export UPSCALE_TPU_MODEL_PATH=${UPSCALE_TPU_MODEL_PATH:-/root/reference/models}
 R=.hwlogs
 mkdir -p "$R"
 mark() { echo "$(date -u +%H:%M:%S) $1" >> "$R/QUEUE_STATE"; }
+
+if [ "$PHASE" = "2" ]; then
+  # Phase 2 — re-run the pack12/row3 arms on the FIXED kernel (phase-1
+  # arms b/c ran 19 min before the 2D-reshape fix commit c3ab3e9 landed;
+  # .hwlogs/rdb_ablate_{b,c}_r5.log show the pre-fix Mosaic
+  # offset-mismatch failure), plus the slab frame-mask hardware A/B
+  # (9c16e25 — interpret-bit-exact, needs one hardware run before any
+  # default flip).  xla-scatter + rdb:48 ride along as in-session
+  # baselines (both persistent-cache-warm after phase 1).
+  mark "hw_queue(r5p2) start"
+  mark "p2_pack12 start"
+  timeout 7200 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+      --impls xla-scatter,rdb:48,rdb:48:pack12 \
+      --reps 3 --compile_budget 2700 > "$R/rdb_p2_pack12_r5.log" 2>&1
+  mark "p2_pack12 rc=$?"
+  mark "p2_row3 start"
+  timeout 9000 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+      --impls xla-scatter,rdb:48,rdb:48:row3h,rdb:48:row3 \
+      --reps 3 --compile_budget 2700 > "$R/rdb_p2_row3_r5.log" 2>&1
+  mark "p2_row3 rc=$?"
+  mark "p2_slab start"
+  timeout 7200 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+      --impls xla-scatter,rdb:48,rdb:48:slab \
+      --reps 3 --compile_budget 2700 > "$R/rdb_p2_slab_r5.log" 2>&1
+  mark "p2_slab rc=$?"
+  mark "hw_queue(r5p2) done"
+  exit 0
+fi
 
 mark "hw_queue(r5) start"
 
