@@ -47,6 +47,35 @@ if [ "$PHASE" = "2" ]; then
   exit 0
 fi
 
+if [ "$PHASE" = "3" ]; then
+  # Phase 3 — product-facing refreshes AFTER the phase-2 winners are
+  # folded into the defaults (any kernel-file commit invalidates the
+  # whole compile cache — NOTES r5s3 — so these runs pay one cold
+  # compile per geometry and re-warm the cache the driver's round-end
+  # bench will ride).
+  mark "hw_queue(r5p3) start"
+  # (a) vsr-test-chips -m r tile sweep: the hardware table VERDICT item
+  #     6 asks for, via the PRODUCT calibration tool (3 tile specs x 2
+  #     depths; synthetic Valar — upstream .bin is absent).
+  mark "p3_tilesweep start"
+  timeout 10800 python -m upscale_video_tpu.cli.test_chips -m r \
+      --synthetic_models -r 3 > "$R/test_chips_r_r5.log" 2>&1
+  mark "p3_tilesweep rc=$?"
+  # (b) Valar bf16 sidecar refresh on the shipped (post-flip) defaults.
+  mark "p3_valar_sidecar start"
+  timeout 7200 python bench.py --models r --verbose \
+      > "$R/valar_sidecar_r5.log" 2>&1
+  mark "p3_valar_sidecar rc=$?"
+  # (c) headline warm-up + refresh so the driver's round-end bench runs
+  #     cache-warm (its Compact program is untouched by kernel edits but
+  #     a fresh measurement median belongs in the round artifact).
+  mark "p3_headline start"
+  timeout 5400 python bench.py --verbose > "$R/headline_r5.log" 2>&1
+  mark "p3_headline rc=$?"
+  mark "hw_queue(r5p3) done"
+  exit 0
+fi
+
 mark "hw_queue(r5) start"
 
 # 1. RDB kernel ablation at the SHIPPED 576x512/th=48 geometry (VERDICT
