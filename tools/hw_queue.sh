@@ -47,6 +47,22 @@ if [ "$PHASE" = "2" ]; then
   exit 0
 fi
 
+if [ "$PHASE" = "2b" ]; then
+  # Phase 2b — the decisive stacking A/B after phase 2's single-lever
+  # results (row3h +18% in-session, slab pending): do the two winners
+  # compose?  rdb:48 / row3h / slab are compile-cache-warm from phase
+  # 1/2; row3h:slab is the one cold compile.  reps=5 against the
+  # session-to-session baseline drift (2.58..3.29 ms/RDB observed).
+  mark "hw_queue(r5p2b) start"
+  mark "p2b_combo start"
+  timeout 7200 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
+      --impls rdb:48,rdb:48:slab,rdb:48:row3h,rdb:48:row3h:slab \
+      --reps 5 --compile_budget 2700 > "$R/rdb_p2b_combo_r5.log" 2>&1
+  mark "p2b_combo rc=$?"
+  mark "hw_queue(r5p2b) done"
+  exit 0
+fi
+
 if [ "$PHASE" = "3" ]; then
   # Phase 3 — product-facing refreshes AFTER the phase-2 winners are
   # folded into the defaults (any kernel-file commit invalidates the
