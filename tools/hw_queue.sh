@@ -48,15 +48,18 @@ if [ "$PHASE" = "2" ]; then
 fi
 
 if [ "$PHASE" = "2b" ]; then
-  # Phase 2b — the decisive stacking A/B after phase 2's single-lever
-  # results (row3h +18% in-session, slab pending): do the two winners
-  # compose?  rdb:48 / row3h / slab are compile-cache-warm from phase
-  # 1/2; row3h:slab is the one cold compile.  reps=5 against the
-  # session-to-session baseline drift (2.58..3.29 ms/RDB observed).
+  # Phase 2b — the decisive default-flip A/B after phase 2's single-lever
+  # results.  Slab is DROPPED: its Mosaic compile blew the 2700s budget
+  # at the shipped geometry (rdb_p2_slab_r5.log) — compile-pathological,
+  # refuted on compile cost alone (the th=64 precedent).  What remains is
+  # rdb:48 (patch9) vs rdb:48:row3h head-to-head at reps=5 against the
+  # observed session-to-session baseline drift (2.58..3.29 ms/RDB);
+  # both impls are compile-cache-warm from phase 2 (kernel file
+  # untouched since).  xla-scatter rides as the scale anchor.
   mark "hw_queue(r5p2b) start"
   mark "p2b_combo start"
   timeout 7200 python tools/rdb_bench.py --size 576x512 --tile_w 512 \
-      --impls rdb:48,rdb:48:slab,rdb:48:row3h,rdb:48:row3h:slab \
+      --impls xla-scatter,rdb:48,rdb:48:row3h \
       --reps 5 --compile_budget 2700 > "$R/rdb_p2b_combo_r5.log" 2>&1
   mark "p2b_combo rc=$?"
   mark "hw_queue(r5p2b) done"
