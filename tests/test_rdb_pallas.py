@@ -626,6 +626,20 @@ def test_rdb_im2col_valar_variant(rng, im2col):
     np.testing.assert_allclose(got, want, atol=0.06)
 
 
+def test_rdb_im2col_default_is_patch9(monkeypatch):
+    """Decision record: patch9 stays the default im2col formulation.
+
+    The round-5 reps=5 warm-cache head-to-head at the shipped
+    576x512/th=48 geometry measured patch9 2.62 ms/RDB vs row3h 2.82,
+    row3 3.05, pack12 2.98 (.hwlogs/rdb_p2b_combo_r5.log, NOTES r5s4) —
+    every restructuring of the patch copies lost on hardware.  A flip
+    of this default must come with a new same-session A/B."""
+    monkeypatch.delenv("UPSCALE_TPU_RDB_IM2COL", raising=False)
+    from upscale_video_tpu.ops.rdb_pallas import resolve_im2col
+
+    assert resolve_im2col(None) == "patch9"
+
+
 def test_rdb_im2col_env_knob(rng, monkeypatch):
     """UPSCALE_TPU_RDB_IM2COL selects the formulation (a hardware winner
     ships without a code change); bad values fail loudly."""
