@@ -95,6 +95,34 @@ if [ "$PHASE" = "3" ]; then
   exit 0
 fi
 
+if [ "$PHASE" = "4" ]; then
+  # Phase 4 — `--precision mixed` hardware numbers (round-5 session 5).
+  # (a) Valar mixed speed cost: the mixed program is a NEW XLA program
+  #     (f32 spine) so it pays one cold compile; the bf16 anchor is the
+  #     phase-3b sidecar minutes earlier in this same queue, and a warm
+  #     bf16 control run AFTER brackets tunnel drift.  bench_valar.json
+  #     must keep carrying the shipped bf16 config (f32-run precedent).
+  mark "hw_queue(r5p4) start"
+  mark "p4_valar_mixed start"
+  cp -f bench_valar.json /tmp/bench_valar_bf16_backup.json 2>/dev/null || true
+  timeout 10800 python bench.py --models r --precision mixed --verbose \
+      > "$R/valar_mixed_r5.log" 2>&1
+  mark "p4_valar_mixed rc=$?"
+  cp -f /tmp/bench_valar_bf16_backup.json bench_valar.json 2>/dev/null || true
+  mark "p4_valar_bf16_control start"
+  timeout 7200 python bench.py --models r --verbose \
+      > "$R/valar_bf16_control_r5.log" 2>&1
+  mark "p4_valar_bf16_control rc=$?"
+  # (b) hardware parity sweep with the mixed PSNR column (PARITY.md
+  #     refresh; small 72x96 inputs — compiles are cheap).
+  mark "p4_parity_mixed start"
+  timeout 7200 env UPSCALE_TPU_MODEL_PATH=/root/reference/models \
+      python tools/parity_sweep.py --mixed > "$R/parity_mixed_r5.log" 2>&1
+  mark "p4_parity_mixed rc=$?"
+  mark "hw_queue(r5p4) done"
+  exit 0
+fi
+
 mark "hw_queue(r5) start"
 
 # 1. RDB kernel ablation at the SHIPPED 576x512/th=48 geometry (VERDICT
