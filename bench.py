@@ -116,7 +116,8 @@ def build_args():
                         "device emits 4:2:0 — half the D2H bytes; auto, "
                         "the product default, resolves to yuv420p for "
                         "this bench's C420 clip)")
-    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--precision", choices=["bf16", "mixed", "f32"],
+                   default="bf16")
     p.add_argument("--models", default=None,
                    help="chain DSL for the step under test (e.g. 'n=3')")
     p.add_argument("--conv_impl", choices=["auto", "xla", "pallas", "rdb"],
@@ -135,7 +136,9 @@ def make_engine(args):
 
     from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
 
-    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    from upscale_video_tpu.pipeline.chain import precision_dtypes
+
+    dtype, residual_dtype = precision_dtypes(args.precision)
     spec = ChainSpec.parse(args.models)
     # Valar at 1080p whole-frame overflows HBM (measured 15.9/15.75 G);
     # production '-m r' runs tiled like the reference (tile 960 default,
@@ -150,6 +153,7 @@ def make_engine(args):
     return ChainEngine.build(
         spec, 2, compute_dtype=dtype,
         synthetic=True, conv_impl=args.conv_impl, tile=tile,
+        residual_dtype=residual_dtype,
     )
 
 
@@ -215,7 +219,7 @@ def run_device_mode(args) -> float:
         "tflops": (round(flops / per_frame / 1e12, 1)
                    if flops_source != "failed" else None),
         "mfu": (round(flops / per_frame / 1e12 / PEAK_TFLOPS_BF16, 3)
-                if flops_source != "failed" and args.precision == "bf16"
+                if flops_source != "failed" and args.precision != "f32"
                 else None),
     }
     if args.verbose:
@@ -303,7 +307,7 @@ def run_pipeline_mode(args) -> float:
             "mfu": (round(flops * res.frames_per_second / 1e12
                           / PEAK_TFLOPS_BF16, 3)
                     if flops_source != "failed"
-                    and args.precision == "bf16" else None),
+                    and args.precision != "f32" else None),
             "pipe_pix": res.pipe_pix,  # the RESOLVED contract
         }
         return res.frames_per_second, extras

@@ -50,13 +50,15 @@ def make_input(h=72, w=96):
 
 
 def build_engine(models, scale, synthetic, dtype):
-    import jax.numpy as jnp
+    from upscale_video_tpu.pipeline.chain import (
+        ChainEngine, ChainSpec, precision_dtypes,
+    )
 
-    from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
-
+    compute_dtype, residual_dtype = precision_dtypes(dtype)
     return ChainEngine.build(
         ChainSpec.parse(models), scale,
-        compute_dtype=jnp.float32 if dtype == "f32" else jnp.bfloat16,
+        compute_dtype=compute_dtype,
+        residual_dtype=residual_dtype,
         synthetic=synthetic,
     )
 
@@ -93,6 +95,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phase", choices=["oracle", "tpu"], default=None)
     p.add_argument("--oracle_file", default="/tmp/parity_oracle.npz")
+    p.add_argument("--mixed", action="store_true",
+                   help="also run --precision mixed (bf16 convs, f32 "
+                        "residual spine) and print its PSNR column — "
+                        "the -m r quality/speed middle path")
     args = p.parse_args()
 
     if args.phase == "oracle":
@@ -118,18 +124,23 @@ def main():
     oracle = dict(np.load(args.oracle_file))
     tpu_f32 = run_chains("f32")
     tpu_bf16 = run_chains("bf16")
+    tpu_mixed = run_chains("mixed") if args.mixed else None
 
     from upscale_video_tpu.ops.pixel import psnr
 
+    mix_head = " PSNR dB (TPU mixed vs f32 oracle) |" if args.mixed else ""
     print("\n| chain | maxLSB (TPU f32 vs CPU f32) | PSNR dB (TPU bf16 vs "
-          "f32 oracle) |")
-    print("|---|---|---|")
+          "f32 oracle) |" + mix_head)
+    print("|---|---|---|" + ("---|" if args.mixed else ""))
     for label, _, _, _, _ in CHAINS:
         lsb = int(np.max(np.abs(
             tpu_f32[label].astype(np.int32) - oracle[label].astype(np.int32)
         )))
         q = psnr(tpu_bf16[label], oracle[label])
-        print(f"| {label} | {lsb} | {q:.1f} |", flush=True)
+        mix_col = ""
+        if args.mixed:
+            mix_col = f" {psnr(tpu_mixed[label], oracle[label]):.1f} |"
+        print(f"| {label} | {lsb} | {q:.1f} |" + mix_col, flush=True)
     return 0
 
 

@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "'-m r').")
     p.add_argument("--model_path")
     p.add_argument("--synthetic_models", action="store_true")
-    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--precision", choices=["bf16", "mixed", "f32"],
+                   default="bf16")
     return p
 
 

@@ -132,14 +132,16 @@ def main(argv=None) -> int:
     from upscale_video_tpu.utils.compcache import cache_dir_in_use
 
     spec = ChainSpec.parse(args.models)
-    dtype = jnp.float32 if args.precision == "f32" else jnp.bfloat16
+    from upscale_video_tpu.pipeline.chain import precision_dtypes
+
+    dtype, residual_dtype = precision_dtypes(args.precision)
     print(f"building engine ({spec.describe() if hasattr(spec, 'describe') else args.models or 'sr'} "
           f"scale={spec.effective_scale(args.scale)} {args.precision})...",
           flush=True)
     engine = ChainEngine.build(
         spec, args.scale, model_path=args.model_path, compute_dtype=dtype,
         tile=args.tile_size, halo=args.halo, synthetic=args.synthetic_models,
-        conv_impl=args.conv_impl, tta=args.tta,
+        conv_impl=args.conv_impl, tta=args.tta, residual_dtype=residual_dtype,
     )
     frames_per_step = engine.configure_chips(
         args.chips, args.frames_per_step, args.parallel

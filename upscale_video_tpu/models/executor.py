@@ -1008,6 +1008,7 @@ def build_forward(
     dense_scatter: bool = True,
     planar_tail: bool = False,
     rdb_kernel: bool = False,
+    residual_dtype: Any = None,
 ) -> Callable:
     """Compile ``graph`` into a pure ``forward(params, x_nhwc) -> y_nhwc``.
 
@@ -1195,6 +1196,29 @@ def build_forward(
         else jax.lax.Precision.DEFAULT
     )
 
+    # ``--precision mixed``: convs stay in compute_dtype (bf16 MXU path)
+    # but every residual/Eltwise ADD runs — and its result flows onward —
+    # in f32.  The error that separates Valar's bf16 output from the
+    # Compact family's (PARITY 36.1 vs >=49.6 dB) accrues on the residual
+    # SPINE: 69 RDB combines + 23 RRDB combines + trunk adds each
+    # re-round the running sum to bf16's 8-bit mantissa.  Keeping the
+    # spine f32 is elementwise-only work (the convs that dominate the
+    # step are untouched) and measured +4.4 dB on the 23-RRDB synthetic
+    # (33.75 -> 38.12 dB vs the f32 oracle, hermetic probe, round 5).
+    residual_f32 = (
+        residual_dtype is not None
+        and jnp.dtype(residual_dtype) == jnp.dtype(jnp.float32)
+        and jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
+    )
+
+    def _spine_cast(ts):
+        """Upcast float tensors entering a residual add when mixed."""
+        return [
+            t.astype(jnp.float32)
+            if jnp.issubdtype(t.dtype, jnp.floating) else t
+            for t in ts
+        ]
+
     # graphs with a Reorg (pixel-unshuffle) need H/W divisible by the
     # stride; basicsr's reference forward mod-pads the input and crops the
     # output (Real-ESRGAN pre_process/post_process) — reproduce that at
@@ -1299,6 +1323,11 @@ def build_forward(
                 hit = canvas_cache.get(id(x_val))
                 bufs = (hit[1] if hit is not None and hit[2] == geom
                         else rdb_canvas_embed(x_val, geom))
+                if bufs.dtype != compute_dtype:
+                    # mixed precision keeps combined canvases (the
+                    # residual spine) in f32; the Mosaic kernel operand
+                    # contract stays compute_dtype
+                    bufs = bufs.astype(compute_dtype)
                 # lookahead: if this block's SOLE consumer is a 2-input
                 # sum Eltwise whose other operand has a live canvas on
                 # the same grid (the ESRGAN RRDB combine, 0.2*r3 + in),
@@ -1314,7 +1343,10 @@ def build_forward(
                 fuse_next = None  # (layer_idx, eltwise layer, res canvases, comb_self, comb_res)
                 cons = (consumers_map.get(block["out"], [])
                         if os.environ.get("UPSCALE_TPU_RDB_FUSE_COMBINE")
-                        == "1" else [])
+                        == "1" and not residual_f32 else [])
+                # (the refuted fused-combine opt-in runs the combine in
+                # the kernel epilogue at compute_dtype — incompatible
+                # with the mixed-precision f32 spine, so mixed wins)
                 if len(cons) == 1:
                     nxt = graph.layers[cons[0]]
                     if (nxt.type == "Eltwise" and nxt.attr_i(0, 0) == 1
@@ -1453,6 +1485,12 @@ def build_forward(
 
                     coeffs = layer.attr(1, [])
                     cb = [h_[1] for h_ in hits]
+                    if residual_f32:
+                        # mixed precision: the combine chain IS the
+                        # residual spine on the canvas path — keep the
+                        # combined canvases f32 (the kernel call site
+                        # downcasts its input canvas to compute_dtype)
+                        cb = _spine_cast(cb)
                     if coeffs:
                         ob = cb[0] * jnp.asarray(coeffs[0], cb[0].dtype)
                         for t_, c_ in zip(cb[1:], coeffs[1:]):
@@ -1473,6 +1511,11 @@ def build_forward(
                             del blobs[b]
                     continue
             ins = [blobs[b] for b in layer.inputs]
+            if residual_f32 and layer.type in ("Eltwise", "BinaryOp"):
+                # mixed precision: the residual spine (Eltwise/BinaryOp
+                # sums) accumulates in f32; convs re-cast their inputs to
+                # compute_dtype themselves, so only the spine stays wide
+                ins = _spine_cast(ins)
             p = params.get(layer.name, {})
             out = OP_REGISTRY[layer.type](layer, ins, p, compute_dtype)
             if isinstance(out, list):

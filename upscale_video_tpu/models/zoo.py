@@ -62,6 +62,9 @@ class Model:
     graph: NcnnGraph
     params: Dict[str, Dict[str, Any]]
     compute_dtype: Any = jnp.bfloat16
+    # --precision mixed: residual/Eltwise adds (the spine) run in this
+    # dtype while convs stay in compute_dtype; None = follow compute_dtype
+    residual_dtype: Any = None
     pallas_conv: bool = False  # fused Pallas conv3x3 kernels (ops/conv_pallas)
     rdb_kernel: bool = False  # fused residual-dense-block kernel (ops/rdb_pallas)
     _forward: Callable = field(default=None, repr=False)
@@ -79,6 +82,7 @@ class Model:
                 compute_dtype=self.compute_dtype,
                 pallas_conv=self.pallas_conv,
                 rdb_kernel=self.rdb_kernel,
+                residual_dtype=self.residual_dtype,
             )
         return self._forward
 
@@ -104,6 +108,7 @@ class Model:
                 compute_dtype=self.compute_dtype,
                 pallas_conv=self.pallas_conv,
                 rdb_kernel=self.rdb_kernel,
+                residual_dtype=self.residual_dtype,
                 emit_frames=True,
                 channel_order=channel_order,
                 planar_tail=planar,

@@ -87,7 +87,9 @@ def run_calibration(
     if tiles is None:
         tiles = ("auto", "480", "544x480") if spec.real_life else (None,)
 
-    dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+    from upscale_video_tpu.pipeline.chain import precision_dtypes
+
+    dtype, residual_dtype = precision_dtypes(precision)
     img = sample_image(height, width)
 
     points: List[CalibrationPoint] = []
@@ -96,6 +98,7 @@ def run_calibration(
             spec, scale, model_path=model_path,
             compute_dtype=dtype, synthetic=synthetic_models,
             tile=None if tile is None else tile_spec(str(tile)),
+            residual_dtype=residual_dtype,
         )
         if tile is not None:
             log.info("tile_size %s -> engine tile %r", tile, engine.tile)

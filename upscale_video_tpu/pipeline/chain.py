@@ -103,6 +103,25 @@ class ChainSpec:
 VALAR_DEFAULT_TILE: "int | tuple" = 544
 
 
+def precision_dtypes(precision: str):
+    """Map a ``--precision`` name to ``(compute_dtype, residual_dtype)``.
+
+    ``bf16``  — convs and residuals in bf16 (fast MXU path, default).
+    ``mixed`` — convs in bf16, the residual/Eltwise spine in f32: the
+                quality class that separates Valar bf16 (PARITY 36.1 dB)
+                from the Compact chains (>=49.6 dB) accrues on the spine
+                (69 RDB + 23 RRDB combines each re-round the running sum
+                to bf16), and keeping it wide is elementwise-only cost.
+    ``f32``   — everything f32 (bit-exact vs the oracle; measured 5.3x
+                on Valar, README precision section).
+    """
+    import jax.numpy as jnp
+
+    if precision == "f32":
+        return jnp.float32, None
+    return jnp.bfloat16, (jnp.float32 if precision == "mixed" else None)
+
+
 def default_tile(spec: ChainSpec) -> "int | tuple":
     """Product tile policy when no ``--tile_size`` was given.
 
@@ -151,10 +170,15 @@ class ChainEngine:
         synthetic: bool = False,
         conv_impl: str = "auto",
         tta: bool = False,
+        residual_dtype=None,
     ) -> "ChainEngine":
         """Load the models the chain needs (reference selection logic at
         upscale_processing.py:888-920).  ``synthetic=True`` builds
         random-weight Compact stand-ins (benchmarks, tests).
+
+        ``residual_dtype``: None follows ``compute_dtype``; jnp.float32
+        with bf16 compute is ``--precision mixed`` — the residual/Eltwise
+        spine accumulates in f32 (see :func:`precision_dtypes`).
 
         ``conv_impl``: 'xla' | 'pallas' | 'auto' — the kernel backend for
         every op with both implementations (convs AND the NL-means
@@ -195,6 +219,7 @@ class ChainEngine:
             )
             anime_model.pallas_conv = pallas_conv
             anime_model.rdb_kernel = rdb_kernel
+            anime_model.residual_dtype = residual_dtype
         if scale > 1:
             if synthetic:
                 if spec.real_life:
@@ -222,6 +247,7 @@ class ChainEngine:
                 sr_model = load_model(role, scale, model_path, compute_dtype)
             sr_model.pallas_conv = pallas_conv
             sr_model.rdb_kernel = rdb_kernel
+            sr_model.residual_dtype = residual_dtype
             n_layers = len(sr_model.graph.layers)
             if n_layers > 500:
                 # first-run UX for the big models (round-3 verdict #4): a

@@ -175,11 +175,13 @@ def process_file(
         log.info("multi-host pod initialized (%d processes)", n_procs)
 
     if engine is None:
-        compute_dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+        from upscale_video_tpu.pipeline.chain import precision_dtypes
+
+        compute_dtype, residual_dtype = precision_dtypes(precision)
         engine = ChainEngine.build(
             spec, scale, model_path=model_path, compute_dtype=compute_dtype,
             tile=tile_size, halo=halo, synthetic=synthetic_models,
-            conv_impl=conv_impl, tta=tta,
+            conv_impl=conv_impl, tta=tta, residual_dtype=residual_dtype,
         )  # callers may pass a pre-built engine to reuse compiled programs
     frames_per_step = engine.configure_chips(chips, frames_per_step, parallel_mode)
     log.info("model chain: %s", engine.describe())

@@ -58,11 +58,13 @@ log = logging.getLogger(__name__)
 
 def _build_engine(spec, scale, model_path, precision, tile_size, halo,
                   synthetic, conv_impl="auto", tta=False):
-    dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+    from upscale_video_tpu.pipeline.chain import precision_dtypes
+
+    dtype, residual_dtype = precision_dtypes(precision)
     return ChainEngine.build(
         spec, scale, model_path=model_path, compute_dtype=dtype,
         tile=tile_size, halo=halo, synthetic=synthetic, conv_impl=conv_impl,
-        tta=tta,
+        tta=tta, residual_dtype=residual_dtype,
     )
 
 
