@@ -102,6 +102,30 @@ def test_mixed_is_noop_for_f32():
     np.testing.assert_array_equal(a, b)
 
 
+def test_process_file_accepts_mixed(tmp_path):
+    """precision='mixed' flows from the orchestrator flag surface down to
+    the engine and produces a valid upscaled stream (the CLI exposes the
+    same choices= list, cli/common.py)."""
+    from fractions import Fraction
+
+    from upscale_video_tpu.pipeline.process import process_file
+    from upscale_video_tpu.video.io import Y4MSink, Y4MSource
+
+    vid = str(tmp_path / "in.y4m")
+    rng = np.random.default_rng(3)
+    with Y4MSink(vid, 24, 16, Fraction(24, 1)) as sink:
+        for _ in range(4):
+            sink.write(rng.integers(0, 256, (16, 24, 3), np.uint8))
+    out = str(tmp_path / "out.y4m")
+    process_file(
+        vid, output_file=out, scale=2, temp_dir=str(tmp_path / "t"),
+        synthetic_models=True, precision="mixed", frames_per_step=2,
+    )
+    with Y4MSource(out) as src:
+        frames = list(src)
+    assert len(frames) == 4 and frames[0].shape == (32, 48, 3)
+
+
 def test_engine_build_plumbs_residual_dtype():
     """ChainEngine.build(residual_dtype=...) reaches the SR model and the
     processed output keeps the uint8 frames contract."""
