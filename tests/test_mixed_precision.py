@@ -40,6 +40,22 @@ def test_precision_dtypes_mapping():
     assert compute == jnp.float32 and residual is None
 
 
+def test_precision_auto_is_per_family():
+    """'auto' (the product default) resolves mixed for the '-m r' family
+    (measured 1.8% fps for +3.3..4.6 dB, NOTES round-5 phase 4) and bf16
+    everywhere else (Compact is >=49.6 dB in plain bf16 already)."""
+    assert precision_dtypes("auto", ChainSpec.parse("r")) == (
+        jnp.bfloat16, jnp.float32)
+    assert precision_dtypes("auto", ChainSpec.parse("a,n=3,r")) == (
+        jnp.bfloat16, jnp.float32)
+    assert precision_dtypes("auto", ChainSpec.parse(None)) == (
+        jnp.bfloat16, None)
+    assert precision_dtypes("auto", ChainSpec.parse("a,n=3")) == (
+        jnp.bfloat16, None)
+    # no spec (library callers): conservative bf16
+    assert precision_dtypes("auto") == (jnp.bfloat16, None)
+
+
 def test_mixed_recovers_spine_accumulation_error():
     """At the full Valar depth (23 RRDBs) the f32 spine must recover a
     measurable part of the bf16 gap vs the f32 oracle.  Depth matters:

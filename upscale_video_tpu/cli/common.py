@@ -62,11 +62,13 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
              "frame batch, like the reference's workers-per-GPU).",
     )
     p.add_argument(
-        "--precision", choices=["bf16", "mixed", "f32"], default="bf16",
-        help="bf16 = fast MXU path (default); mixed = bf16 convs with "
-             "the residual spine in f32 (recovers part of the deep-"
-             "RRDBNet bf16 quality gap for elementwise-only cost — "
-             "relevant to -m r); f32 = max quality (5.3x on Valar).",
+        "--precision", choices=["auto", "bf16", "mixed", "f32"],
+        default="auto",
+        help="auto (default) = per-family policy: mixed for -m r, bf16 "
+             "otherwise; bf16 = fast MXU path; mixed = bf16 convs with "
+             "the residual spine in f32 (+3.3..4.6 dB on the deep "
+             "RRDBNet for a measured 1.8%% fps cost); f32 = max quality "
+             "(5.3x on Valar).",
     )
     p.add_argument(
         "--tile_size", type=tile_spec, default=None,

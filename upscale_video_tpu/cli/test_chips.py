@@ -46,8 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'-m r').")
     p.add_argument("--model_path")
     p.add_argument("--synthetic_models", action="store_true")
-    p.add_argument("--precision", choices=["bf16", "mixed", "f32"],
-                   default="bf16")
+    p.add_argument("--precision",
+                   choices=["auto", "bf16", "mixed", "f32"],
+                   default="auto",
+                   help="auto = the product per-family policy (mixed for "
+                        "-m r, bf16 otherwise) — calibrate what will run")
     return p
 
 

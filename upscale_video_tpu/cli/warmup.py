@@ -134,7 +134,7 @@ def main(argv=None) -> int:
     spec = ChainSpec.parse(args.models)
     from upscale_video_tpu.pipeline.chain import precision_dtypes
 
-    dtype, residual_dtype = precision_dtypes(args.precision)
+    dtype, residual_dtype = precision_dtypes(args.precision, spec)
     print(f"building engine ({spec.describe() if hasattr(spec, 'describe') else args.models or 'sr'} "
           f"scale={spec.effective_scale(args.scale)} {args.precision})...",
           flush=True)

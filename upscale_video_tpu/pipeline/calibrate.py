@@ -59,7 +59,7 @@ def run_calibration(
     width: int = 960,
     model_path: Optional[str] = None,
     synthetic_models: bool = False,
-    precision: str = "bf16",
+    precision: str = "auto",
     models: Optional[str] = None,
     tiles: Optional[Sequence[str]] = None,
 ) -> List[CalibrationPoint]:
@@ -89,7 +89,7 @@ def run_calibration(
 
     from upscale_video_tpu.pipeline.chain import precision_dtypes
 
-    dtype, residual_dtype = precision_dtypes(precision)
+    dtype, residual_dtype = precision_dtypes(precision, spec)
     img = sample_image(height, width)
 
     points: List[CalibrationPoint] = []

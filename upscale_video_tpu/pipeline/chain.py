@@ -103,10 +103,17 @@ class ChainSpec:
 VALAR_DEFAULT_TILE: "int | tuple" = 544
 
 
-def precision_dtypes(precision: str):
+def precision_dtypes(precision: str, spec: "ChainSpec | None" = None):
     """Map a ``--precision`` name to ``(compute_dtype, residual_dtype)``.
 
-    ``bf16``  — convs and residuals in bf16 (fast MXU path, default).
+    ``auto``  — per-family policy (the product default, like ``--tile_size
+                auto``): ``mixed`` for the deep `-m r` RRDBNet, ``bf16``
+                for everything else.  Measured basis: mixed costs 1.8% of
+                Valar's fps on hardware (0.502 vs 0.511, round-5 phase-4
+                same-queue pair) for +3.3..+4.6 dB, while the Compact
+                family is already >=49.6 dB in plain bf16 — nothing to
+                recover.  Requires ``spec``; without one, resolves bf16.
+    ``bf16``  — convs and residuals in bf16 (fast MXU path).
     ``mixed`` — convs in bf16, the residual/Eltwise spine in f32: the
                 quality class that separates Valar bf16 (PARITY 36.1 dB)
                 from the Compact chains (>=49.6 dB) accrues on the spine
@@ -117,6 +124,10 @@ def precision_dtypes(precision: str):
     """
     import jax.numpy as jnp
 
+    if precision == "auto":
+        precision = (
+            "mixed" if spec is not None and spec.real_life else "bf16"
+        )
     if precision == "f32":
         return jnp.float32, None
     return jnp.bfloat16, (jnp.float32 if precision == "mixed" else None)

@@ -94,7 +94,7 @@ def process_file(
     log_level: Optional[int] = None,
     log_dir: Optional[str] = None,
     model_path: Optional[str] = None,
-    precision: str = "bf16",
+    precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
@@ -177,7 +177,7 @@ def process_file(
     if engine is None:
         from upscale_video_tpu.pipeline.chain import precision_dtypes
 
-        compute_dtype, residual_dtype = precision_dtypes(precision)
+        compute_dtype, residual_dtype = precision_dtypes(precision, spec)
         engine = ChainEngine.build(
             spec, scale, model_path=model_path, compute_dtype=compute_dtype,
             tile=tile_size, halo=halo, synthetic=synthetic_models,

@@ -60,7 +60,7 @@ def _build_engine(spec, scale, model_path, precision, tile_size, halo,
                   synthetic, conv_impl="auto", tta=False):
     from upscale_video_tpu.pipeline.chain import precision_dtypes
 
-    dtype, residual_dtype = precision_dtypes(precision)
+    dtype, residual_dtype = precision_dtypes(precision, spec)
     return ChainEngine.build(
         spec, scale, model_path=model_path, compute_dtype=dtype,
         tile=tile_size, halo=halo, synthetic=synthetic, conv_impl=conv_impl,
@@ -81,7 +81,7 @@ def upscale_only(
     log_level: Optional[int] = None,
     log_dir: Optional[str] = None,
     model_path: Optional[str] = None,
-    precision: str = "bf16",
+    precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
@@ -282,7 +282,7 @@ def fix_frames(
     log_level: Optional[int] = None,
     log_dir: Optional[str] = None,
     model_path: Optional[str] = None,
-    precision: str = "bf16",
+    precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
@@ -401,7 +401,7 @@ def process_image(
     models: Optional[str] = None,
     chips: Optional[str] = None,
     model_path: Optional[str] = None,
-    precision: str = "bf16",
+    precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
     frames_per_step: int = 4,
