@@ -34,6 +34,19 @@ def make_test_video(path: str, n_frames: int = 12, w: int = 32, h: int = 24,
 
 
 class TestChainSpec:
+    def test_default_frames_per_step_per_family(self):
+        """--frames_per_step default is a per-family policy: depth 4 for
+        Compact (measured-best, round-4 batch A/B) but 1 for '-m r' —
+        the fused-RDB program duplicates its kernel calls per frame in
+        the batch, and depth 4 at 1080p compiled to a 2.2 GB executable
+        exceeding the backend's 2 GB proto limit (NOTES round 5)."""
+        from upscale_video_tpu.pipeline.chain import default_frames_per_step
+
+        assert default_frames_per_step(ChainSpec.parse(None)) == 4
+        assert default_frames_per_step(ChainSpec.parse("a,n=3")) == 4
+        assert default_frames_per_step(ChainSpec.parse("r")) == 1
+        assert default_frames_per_step(ChainSpec.parse("a,n=3,r")) == 1
+
     def test_parse_full(self):
         s = ChainSpec.parse("a,n=3,r")
         assert s.anime and s.real_life and s.denoise == 3

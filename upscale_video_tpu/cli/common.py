@@ -88,8 +88,11 @@ def add_compute_args(p: argparse.ArgumentParser) -> None:
         help="Tile context border in pixels (the reference hardcoded 10).",
     )
     p.add_argument(
-        "--frames_per_step", type=int, default=4,
-        help="Frames per device step (on-chip batch).",
+        "--frames_per_step", type=int, default=None,
+        help="Frames per device step (on-chip batch).  Default: per-"
+             "family policy — 4 for the Compact family (measured-best "
+             "depth), 1 for -m r (program size scales with depth on the "
+             "fused-RDB path; depth adds no throughput there).",
     )
     p.add_argument(
         "--parallel", choices=["dp", "sp", "tp"], default="dp",

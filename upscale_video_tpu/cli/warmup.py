@@ -143,6 +143,12 @@ def main(argv=None) -> int:
         tile=args.tile_size, halo=args.halo, synthetic=args.synthetic_models,
         conv_impl=args.conv_impl, tta=args.tta, residual_dtype=residual_dtype,
     )
+    if args.frames_per_step is None:
+        # resolve the per-family depth policy so the warmed program IS
+        # the one the pipeline will dispatch (chain.default_frames_per_step)
+        from upscale_video_tpu.pipeline.chain import default_frames_per_step
+
+        args.frames_per_step = default_frames_per_step(spec)
     frames_per_step = engine.configure_chips(
         args.chips, args.frames_per_step, args.parallel
     )

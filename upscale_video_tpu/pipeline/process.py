@@ -32,7 +32,9 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from upscale_video_tpu.pipeline.chain import BatchedStepper, ChainEngine, ChainSpec
+from upscale_video_tpu.pipeline.chain import (
+    BatchedStepper, ChainEngine, ChainSpec, default_frames_per_step,
+)
 from upscale_video_tpu.pipeline import stages
 from upscale_video_tpu.utils.logsetup import setup_logging
 from upscale_video_tpu.video import ffmpeg as ff
@@ -97,7 +99,7 @@ def process_file(
     precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
-    frames_per_step: int = 4,
+    frames_per_step: Optional[int] = None,
     global_quality: Optional[int] = 20,
     data_plane: str = "stream",
     synthetic_models: bool = False,
@@ -183,6 +185,8 @@ def process_file(
             tile=tile_size, halo=halo, synthetic=synthetic_models,
             conv_impl=conv_impl, tta=tta, residual_dtype=residual_dtype,
         )  # callers may pass a pre-built engine to reuse compiled programs
+    if frames_per_step is None:
+        frames_per_step = default_frames_per_step(spec)
     frames_per_step = engine.configure_chips(chips, frames_per_step, parallel_mode)
     log.info("model chain: %s", engine.describe())
 

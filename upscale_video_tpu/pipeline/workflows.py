@@ -33,7 +33,9 @@ from typing import List, Optional
 import jax.numpy as jnp
 
 from upscale_video_tpu.pipeline import stages
-from upscale_video_tpu.pipeline.chain import ChainEngine, ChainSpec
+from upscale_video_tpu.pipeline.chain import (
+    ChainEngine, ChainSpec, default_frames_per_step,
+)
 from upscale_video_tpu.pipeline.process import (
     VALID_SCALES,
     _extract_all,
@@ -84,7 +86,7 @@ def upscale_only(
     precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
-    frames_per_step: int = 4,
+    frames_per_step: Optional[int] = None,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
     tta: bool = False,
@@ -130,6 +132,8 @@ def upscale_only(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl, tta=tta)
+    if frames_per_step is None:
+        frames_per_step = default_frames_per_step(spec)
     frames_per_step = engine.configure_chips(chips, frames_per_step,
                                              parallel_mode)
     log.info("model chain: %s", engine.describe())
@@ -285,7 +289,7 @@ def fix_frames(
     precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
-    frames_per_step: int = 4,
+    frames_per_step: Optional[int] = None,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
     tta: bool = False,
@@ -342,6 +346,8 @@ def fix_frames(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl, tta=tta)
+    if frames_per_step is None:
+        frames_per_step = default_frames_per_step(spec)
     frames_per_step = engine.configure_chips(chips, frames_per_step,
                                              parallel_mode)
 
@@ -404,7 +410,7 @@ def process_image(
     precision: str = "auto",
     tile_size: "int | tuple | None" = None,
     halo: int = 16,
-    frames_per_step: int = 4,
+    frames_per_step: Optional[int] = None,
     synthetic_models: bool = False,
     conv_impl: str = "auto",
     tta: bool = False,
@@ -437,6 +443,8 @@ def process_image(
 
     engine = _build_engine(spec, scale, model_path, precision, tile_size, halo,
                            synthetic_models, conv_impl, tta=tta)
+    if frames_per_step is None:
+        frames_per_step = default_frames_per_step(spec)
     frames_per_step = engine.configure_chips(chips, frames_per_step,
                                              parallel_mode)
     in_tag = stages.run_chain_stages(engine, output_dir, frames, frames_per_step,
