@@ -37,9 +37,10 @@ class TestChainSpec:
     def test_default_frames_per_step_per_family(self):
         """--frames_per_step default is a per-family policy: depth 4 for
         Compact (measured-best, round-4 batch A/B) but 1 for '-m r' —
-        the fused-RDB program duplicates its kernel calls per frame in
-        the batch, and depth 4 at 1080p compiled to a 2.2 GB executable
-        exceeding the backend's 2 GB proto limit (NOTES round 5)."""
+        the tiled fused-RDB executable's size scales with the vmapped
+        frame batch, and depth 4 at 1080p compiled to a 2.2 GB
+        executable exceeding the backend's 2 GB proto limit (NOTES
+        round 5, incl. the lax.map control)."""
         from upscale_video_tpu.pipeline.chain import default_frames_per_step
 
         assert default_frames_per_step(ChainSpec.parse(None)) == 4

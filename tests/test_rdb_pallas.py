@@ -542,6 +542,51 @@ def test_executor_canvas_chain_multi_rrdb(rng):
     np.testing.assert_allclose(a, b, atol=0.06)
 
 
+def test_executor_canvas_chain_batched_frames(rng):
+    """Leading-dim batches >1 (the UNTILED kernel path) run the canvas
+    stack through lax.map — program text once regardless of depth — and
+    must match the vectorized XLA scatter oracle sample for sample.
+    (The tiled product path vmaps frames instead; the round-5 2.2 GB
+    depth-4 executable reproduced under this rewrite, so the size lives
+    in the vmapped lowering, not per-frame trace duplication — NOTES.)"""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import build_forward
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    g = make_rrdb_graph(scale=4, num_rrdb=2)
+    params = synthesize_weights(g, seed=2)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (3, 18, 22, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    assert a.shape == b.shape == (3, 72, 88, 3)
+    np.testing.assert_allclose(a, b, atol=0.06)
+    # the mapped batch must equal running each sample alone (no
+    # cross-sample mixing through the canvas cache)
+    solo = np.asarray(rdb_fwd(params, x[1:2])).astype(np.float32)
+    np.testing.assert_allclose(b[1:2], solo, atol=1e-5)
+
+
+def test_executor_canvas_fused_combine_batched(rng, monkeypatch):
+    """The refuted FUSE_COMBINE opt-in's (bufs, res) pair rides the same
+    lax.map at batch >1 and still matches the scatter oracle."""
+    from upscale_video_tpu.models.bin_loader import synthesize_weights
+    from upscale_video_tpu.models.executor import build_forward
+    from upscale_video_tpu.models.zoo import make_rrdb_graph
+
+    monkeypatch.setenv("UPSCALE_TPU_RDB_FUSE_COMBINE", "1")
+    g = make_rrdb_graph(scale=4, num_rrdb=2)
+    params = synthesize_weights(g, seed=3)
+    ref_fwd = build_forward(g, compute_dtype=jnp.bfloat16)
+    rdb_fwd = build_forward(g, compute_dtype=jnp.bfloat16, rdb_kernel=True)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 18, 22, 3)), jnp.float32)
+    a = np.asarray(ref_fwd(params, x)).astype(np.float32)
+    b = np.asarray(rdb_fwd(params, x)).astype(np.float32)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=0.06)
+
+
 def test_fused_res_combine_bit_matches_separate(rng):
     """comb_self*rdb(buf) + comb_res*res fused into the kernel epilogue
     is bit-identical to the canvas kernel followed by the executor's

@@ -136,15 +136,15 @@ def precision_dtypes(precision: str, spec: "ChainSpec | None" = None):
 def default_frames_per_step(spec: ChainSpec) -> int:
     """Product frames-per-step (on-chip batch) when the flag was not
     given: 4 for the Compact family (measured-best depth, round-4 batch
-    A/B) but **1 for `-m r`** — the RDB canvas path emits its Mosaic
-    kernel calls once PER FRAME in the batch (executor.py's per-sample
-    loop over the canvas stack), so program size scales with depth:
-    depth 4 at 1080p compiled to a 2.2 GB executable that exceeds the
-    backend's 2 GB TpuExecutableProto limit (round-5 finding,
-    .hwlogs/cli_r_auto_r5.log), while depth 1 is the measured bench
-    configuration.  Valar is compute-bound, so depth adds no throughput
-    (the round-5 tile sweep measured 0.15 fps at both depths 1 and 2);
-    an explicit ``--frames_per_step`` still overrides."""
+    A/B) but **1 for `-m r`** — on the tiled fused-RDB path the compiled
+    executable's size scales with the vmapped frame batch: depth 4 at
+    1080p serialized to a 2.2 GB executable, over the backend's 2 GB
+    TpuExecutableProto limit (round-5 finding + lax.map control that
+    refuted per-frame trace duplication as the cause — NOTES; depth 1,
+    the measured bench configuration, compiles clean).  Valar is
+    compute-bound, so depth adds no throughput anyway (the round-5 tile
+    sweep measured 0.15 fps at both depths 1 and 2); an explicit
+    ``--frames_per_step`` still overrides."""
     return 1 if spec.real_life else 4
 
 
