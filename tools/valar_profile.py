@@ -96,8 +96,12 @@ def main():
     # tile=0: the INPUT is the tile under test — without it the engine's
     # per-family default tile policy (544 budget since round 4 s5) would
     # re-tile the input internally and profile a different geometry.
+    # scale 2 unconditionally: ChainSpec.effective_scale forces 4 for 'r'
+    # (reference semantics), and every other family ships at 2x — the old
+    # "4 if any models" guess profiled e.g. --models 'n=3' as a 4x Compact
+    # program the product never dispatches
     eng = ChainEngine.build(
-        ChainSpec.parse(args.models or None), 2 if not args.models else 4,
+        ChainSpec.parse(args.models or None), 2,
         compute_dtype=jnp.bfloat16,
         synthetic=True, conv_impl=args.impl, tile=0,
     )
@@ -156,11 +160,17 @@ def main():
 
         threading.Thread(target=watchdog, daemon=True).start()
     tc = time.perf_counter()
-    int(c1(x))
-    int(c2(x))
+    # AOT lower+compile under the budget window; the first executions
+    # (and their possible 100-550 s D2H stalls — documented tunnel
+    # flakiness) run AFTER done.set(), so a transfer stall can no longer
+    # be mislabeled compile-pathological (round-5 review finding)
+    c1 = c1.lower(x).compile()
+    c2 = c2.lower(x).compile()
     if args.compile_budget > 0:
         done.set()
     print(f"compile {time.perf_counter() - tc:.1f}s", flush=True)
+    int(c1(x))
+    int(c2(x))
 
     def timed(f):
         t0 = time.perf_counter()

@@ -57,9 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_logging(None, None, None)
-    valar = args.models is not None and "r" in [
-        s.strip() for s in args.models.split(",")
-    ]
+    from upscale_video_tpu.pipeline.chain import ChainSpec
+
+    # the engine's OWN parse decides the family (the same
+    # desynchronization hazard bench.py fixed in round 4 — a hand-rolled
+    # split and ChainSpec can disagree on whitespace/future tokens)
+    valar = ChainSpec.parse(args.models).real_life
     depths = args.batch_depths or ("1,2" if valar else "1,2,4,8")
     run_calibration(
         chips=args.chips,
