@@ -48,6 +48,29 @@ class TestChainSpec:
         assert default_frames_per_step(ChainSpec.parse("r")) == 1
         assert default_frames_per_step(ChainSpec.parse("a,n=3,r")) == 1
 
+    def test_deep_kernel_batch_warns(self, caplog):
+        """An explicit --frames_per_step >= 4 on the tiled '-m r' kernel
+        path logs the 2 GB executable-limit heads-up BEFORE the
+        multi-minute compile; the Compact family never warns."""
+        import logging
+
+        from upscale_video_tpu.pipeline.chain import ChainEngine
+
+        eng = ChainEngine.build(
+            ChainSpec.parse("r"), 4, synthetic=True, tile=16, halo=4,
+        )
+        with caplog.at_level(logging.WARNING):
+            eng.configure_chips(None, 4)
+        assert any("2 GB" in r.message for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            eng.configure_chips(None, 2)  # measured-clean depth: silent
+        assert not any("2 GB" in r.message for r in caplog.records)
+        compact = ChainEngine.build(ChainSpec.parse(None), 2, synthetic=True)
+        with caplog.at_level(logging.WARNING):
+            compact.configure_chips(None, 8)
+        assert not any("2 GB" in r.message for r in caplog.records)
+
     def test_parse_full(self):
         s = ChainSpec.parse("a,n=3,r")
         assert s.anime and s.real_life and s.denoise == 3

@@ -663,6 +663,7 @@ class ChainEngine:
         upscale_only.py:213-233, fix_frames.py:259-271, test_images.py:
         126-144)."""
         if not chips:
+            self._warn_deep_kernel_batch(frames_per_step, 1)
             return frames_per_step
         multiplier = self.use_chips(chips, mode=mode)
         frames_per_step = max(frames_per_step * multiplier, frames_per_step)
@@ -672,7 +673,28 @@ class ChainEngine:
             frames_per_step = ((frames_per_step // n_chips) + 1) * n_chips
         log.info("chips %s -> frames_per_step %d over %d chip(s)",
                  chips, frames_per_step, n_chips)
+        self._warn_deep_kernel_batch(frames_per_step, n_chips)
         return frames_per_step
+
+    def _warn_deep_kernel_batch(self, frames_per_step: int, n_chips: int):
+        """Heads-up before a doomed compile: on the single-chip tiled
+        fused-RDB path the compiled executable's size scales with the
+        frame batch — depth 4 at 1080p serialized to 2.25 GB, over the
+        backend's 2 GB TpuExecutableProto limit, after a 16-minute
+        compile (NOTES round 5; depth 2 measured clean, depth 3 ~1.7 GB
+        by linear scaling).  Multi-chip meshes demote the kernel to the
+        batch-vectorized scatter path and are not exposed."""
+        per_chip = frames_per_step // max(n_chips, 1)
+        if (per_chip >= 4 and self.spec.real_life and self.tile
+                and getattr(self.sr_model, "rdb_kernel", False)):
+            log.warning(
+                "frames_per_step %d per chip on the tiled '-m r' kernel "
+                "path: executable size scales with depth and depth >= 4 "
+                "has exceeded the backend's 2 GB program limit after a "
+                "multi-minute compile (NOTES round 5) — if the compile "
+                "fails, re-run with --frames_per_step %d or lower",
+                per_chip, 2 * max(n_chips, 1),
+            )
 
     def process(self, frames_u8: np.ndarray) -> np.ndarray:
         """Run one host batch through the fused program."""
